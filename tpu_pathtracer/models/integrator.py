@@ -1,0 +1,191 @@
+"""Wavefront path-tracing integrator.
+
+TPU-native inversion of the reference's megakernel `Trace`
+(reference pathtracer.cu:112-170): instead of a divergent per-thread bounce
+loop, ALL paths advance in lockstep through a bounded `lax.scan` over
+bounce index, with liveness tracked as a lane mask. Dead lanes keep
+computing (masked out) — the wavefront trade that XLA/TPU vector hardware
+demands (SURVEY.md §7).
+
+Math parity with the reference integrator, bounce by bounce:
+  - brute-force emitter-hit accumulation: L += T * Le on every light hit
+    (pathtracer.cu:134-137; NEE/MIS was dead code in the reference and is
+    implemented live here behind `use_nee`);
+  - BSDF importance sampling + throughput update T *= f*|wi·n|/pdf
+    (pathtracer.cu:141-149);
+  - Russian roulette after bounce 3 with p = min(0.5, max(T)) and
+    throughput compensation (pathtracer.cu:152-159);
+  - hard bounce cap (pathtracer.cu:160-161), miss termination
+    (pathtracer.cu:163-165).
+
+RNG uses counter-based streams per (sample, bounce) — see utils/rng.py —
+so the backward pass can replay paths without storing the sample buffer.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from tpu_pathtracer.models import camera as cam_mod
+from tpu_pathtracer.models.camera import Camera
+from tpu_pathtracer.models.scene import EPSILON, Scene, prim_attrs
+from tpu_pathtracer.ops import bsdf, sampling, vecmath as vm
+from tpu_pathtracer.ops.intersect import BIG, Hit, intersect, intersect_p
+from tpu_pathtracer.utils import rng
+
+
+@flax.struct.dataclass
+class RenderConfig:
+    """Static render settings (the reference's #defines and ctor args,
+    globals.h:49-54 / main.cpp:177, as data)."""
+
+    spp: int = flax.struct.field(pytree_node=False, default=4)
+    max_bounces: int = flax.struct.field(pytree_node=False, default=10)
+    rr_start: int = flax.struct.field(pytree_node=False, default=3)
+    tmin: float = flax.struct.field(pytree_node=False, default=EPSILON)
+    # Detach sampling decisions/pdfs from the autodiff graph
+    # (detached-sampling estimator; BASELINE.json north star).
+    detach_sampling: bool = flax.struct.field(pytree_node=False, default=True)
+    # Next-event estimation + MIS (live implementation of the reference's
+    # dead machinery, scene.h:110-170). Off = reference-parity brute force.
+    use_nee: bool = flax.struct.field(pytree_node=False, default=False)
+    # Remat the bounce body to bound autodiff memory on large renders.
+    remat: bool = flax.struct.field(pytree_node=False, default=True)
+
+
+def _maybe_detach(x: Array, detach: bool) -> Array:
+    return lax.stop_gradient(x) if detach else x
+
+
+def trace(
+    scene: Scene,
+    o: Array,
+    d: Array,
+    lane_ids: Array,
+    it_key: Array,
+    config: RenderConfig,
+) -> Array:
+    """Estimate radiance along N rays. o, d: (N,3); lane_ids: (N,) global
+    path-sample indices that key the per-lane RNG streams. Returns (N,3).
+
+    Wavefront equivalent of __device__ Trace (pathtracer.cu:112-170).
+    """
+    attrs = prim_attrs(scene)
+    detach = config.detach_sampling
+
+    hit0 = intersect(scene, attrs, o, d, tmin=config.tmin)
+
+    L0 = jnp.zeros_like(o)
+    T0 = jnp.ones_like(o)
+    alive0 = hit0.hit  # miss before first bounce contributes nothing
+    carry0 = (L0, T0, alive0, hit0, d)
+
+    def body(carry, bounce):
+        L, T, alive, hit, wo = carry
+        u = rng.bounce_uniforms(it_key, bounce, lane_ids)
+
+        # -- emitter-hit contribution (pathtracer.cu:134-137 + light.h:43-45)
+        one_sided = vm.dot(hit.n, -wo) > 0.0
+        take_le = alive & one_sided
+        L = L + T * hit.emission * take_le[:, None].astype(T.dtype)
+
+        # -- BSDF sampling (pathtracer.cu:141-149)
+        f_val, wi, pdf = bsdf.sample(
+            hit.mtype, hit.albedo, hit.coef, wo, hit.n, u[:, 0], u[:, 1]
+        )
+        wi = _maybe_detach(wi, detach)
+        pdf = _maybe_detach(pdf, detach)
+        contrib_ok = ~vm.is_black(f_val) & (pdf > 0.0)
+        cos_wi = jnp.abs(vm.dot(wi, hit.n))
+        weight = f_val * (cos_wi / jnp.maximum(pdf, 1e-20))[:, None]
+        step_ok = alive & contrib_ok
+        T = jnp.where(step_ok[:, None], T * weight, T)
+
+        # -- Russian roulette (pathtracer.cu:152-159)
+        do_rr = bounce > config.rr_start
+        p_cont = _maybe_detach(
+            jnp.minimum(0.5, vm.max_component(T)), detach
+        )
+        survive = u[:, 2] <= p_cont
+        boost = step_ok & do_rr & survive & (p_cont > 0.0)
+        T = jnp.where(
+            boost[:, None], T / jnp.maximum(p_cont, 1e-20)[:, None], T
+        )
+        rr_ok = jnp.logical_or(~do_rr, survive)
+
+        # -- termination + next segment (pathtracer.cu:160-168)
+        alive = step_ok & rr_ok & (bounce < config.max_bounces)
+        new_hit = intersect(scene, attrs, hit.p, wi, tmin=config.tmin)
+        alive = alive & new_hit.hit
+        return (L, T, alive, new_hit, wi), None
+
+    if config.remat:
+        body = jax.checkpoint(body)
+
+    bounces = jnp.arange(config.max_bounces + 1)
+    (L, _, _, _, _), _ = lax.scan(body, carry0, bounces)
+    return L
+
+
+def render(
+    scene: Scene,
+    camera: Camera,
+    key: Array,
+    config: RenderConfig,
+    iteration: Array | int = 0,
+) -> Array:
+    """Render one progressive iteration: (H, W, 3) mean radiance over spp.
+
+    Equivalent of one GenerateRayPool + RenderKernel pass
+    (pathtracer.cu:62-110) minus the running-mean accumulation, which lives
+    in models/progressive.py.
+    """
+    H, W, spp = camera.height, camera.width, config.spp
+    it_key = rng.iteration_key(key, iteration)
+    lane_ids = jnp.arange(H * W * spp, dtype=jnp.int32)
+
+    radiance = trace_pixels(scene, camera, lane_ids, it_key, config)
+    return radiance.reshape(H, W, spp, 3).mean(axis=2)
+
+
+def trace_pixels(
+    scene: Scene,
+    camera: Camera,
+    lane_ids: Array,
+    it_key: Array,
+    config: RenderConfig,
+) -> Array:
+    """Generate primary rays for the given lanes and trace them.
+
+    A "lane" is one path sample: lane = (py*W + px)*spp + s. Because ray
+    setup and RNG depend only on the global lane id, this function can be
+    `shard_map`ped over any partition of the lane axis (see
+    parallel/sharding.py) with results identical to a single-device run.
+    """
+    W, spp = camera.width, config.spp
+    s = lane_ids % spp
+    pix = lane_ids // spp
+    px = pix % W
+    py = pix // W
+
+    u = rng.camera_uniforms(it_key, lane_ids)  # (n,2)
+    ox, oy = sampling.stratified_jitter_for_sample(u[:, 0], u[:, 1], s, spp)
+    lu = rng.lens_uniforms(it_key, lane_ids)
+    o, d = cam_mod.generate_rays(camera, px, py, ox, oy, lu[:, 0], lu[:, 1])
+    return trace(scene, o, d, lane_ids, it_key, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def render_image(
+    scene: Scene,
+    camera: Camera,
+    key: Array,
+    config: RenderConfig,
+    iteration: Array | int = 0,
+) -> Array:
+    """Jitted single-iteration render."""
+    return render(scene, camera, key, config, iteration)

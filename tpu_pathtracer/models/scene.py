@@ -1,0 +1,310 @@
+"""Scene data model: SoA arrays in a JAX pytree.
+
+TPU-native redesign of the reference's device-pointer object graph
+(`Scene{MaterialList, PrimitiveList, LightList}`, reference scene.h:35-43,
+primitive.h:87-96, material.h:83-92, light.h:58-65). Instead of
+arrays-of-structs chased through pointers, the scene is a pytree of flat
+arrays padded to lane-friendly sizes, replicated on every chip when sharded
+(SURVEY.md §5 "Distributed communication backend").
+
+Materials and lights are kept as *normalized tables* (colors/intensities
+indexed by id). `prim_attrs` denormalizes them into per-primitive arrays
+inside the traced computation, so gradients from inverse rendering flow
+back to the tables — the differentiable analogue of the reference's
+`materialId`/`lightId` indirection (primitive.h:79-81).
+
+Primitives are spheres, like the reference (primitive.h:26 "will be changed
+to triangle later" — triangle+BVH support is the planned config-4 stage).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+# Material types (reference material.h:25)
+DIFFUSE = 0
+SPECULAR = 1
+TRANSMISSIVE = 2
+
+# Light types (reference light.h:34)
+POINT_LIGHT = 0
+AREA_LIGHT = 1
+
+# Reference globals.h:49 — shadow/self-intersection epsilon.
+EPSILON = 3e-2
+
+
+def _pad_to(n: int, m: int = 8) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+@flax.struct.dataclass
+class Scene:
+    # Primitives (P = padded primitive count)
+    centers: Array  # (P, 3)
+    radii: Array  # (P,)
+    material_id: Array  # (P,) int32
+    light_id: Array  # (P,) int32, -1 = not emissive (primitive.h:75)
+    prim_valid: Array  # (P,) bool — False on padding rows
+
+    # Material table (M = padded material count)
+    mat_color: Array  # (M, 3)
+    mat_coef: Array  # (M,) — specular scale or IOR (material.h:46)
+    mat_type: Array  # (M,) int32
+
+    # Light table (L = padded light count)
+    light_type: Array  # (L,) int32
+    light_pos: Array  # (L, 3) — point lights only
+    light_prim: Array  # (L,) int32 — area lights only
+    light_intensity: Array  # (L, 3)
+    light_valid: Array  # (L,) bool
+
+    num_prims: int = flax.struct.field(pytree_node=False, default=0)
+    num_lights: int = flax.struct.field(pytree_node=False, default=0)
+
+
+@flax.struct.dataclass
+class PrimAttrs:
+    """Per-primitive shading attributes, denormalized from the tables."""
+
+    albedo: Array  # (P, 3)
+    coef: Array  # (P,)
+    mtype: Array  # (P,) int32
+    emission: Array  # (P, 3) — area-light radiance, 0 for non-emitters
+
+
+def prim_attrs(scene: Scene) -> PrimAttrs:
+    """Denormalize material/light tables to per-primitive arrays (in-jit).
+
+    Gradients w.r.t. `mat_color` / `light_intensity` flow through the
+    gathers/scatters here, which is what makes the scene tables the
+    optimizable parameters in inverse rendering.
+    """
+    albedo = scene.mat_color[scene.material_id]
+    coef = scene.mat_coef[scene.material_id]
+    mtype = scene.mat_type[scene.material_id]
+
+    # Area-light emission scattered onto the owning primitive
+    # (reference light.h:40-44: AREA_LIGHT references primId and the
+    # integrator reads intensity through prim->lightId).
+    is_area = (scene.light_type == AREA_LIGHT) & scene.light_valid
+    contrib = scene.light_intensity * is_area[:, None]
+    emission = (
+        jnp.zeros_like(scene.centers).at[scene.light_prim].add(contrib)
+    )
+    # Padding prims carry no emission.
+    emission = emission * scene.prim_valid[:, None]
+    return PrimAttrs(albedo=albedo, coef=coef, mtype=mtype, emission=emission)
+
+
+# ---------------------------------------------------------------------------
+# Host-side construction helpers (the reference's factory functions,
+# material.h:55-77 / main.cpp:128-166, as plain data).
+# ---------------------------------------------------------------------------
+
+def diffuse(color: Sequence[float], coef: float = 0.0) -> dict:
+    return {"type": DIFFUSE, "color": list(color), "coef": coef}
+
+
+def specular(color: Sequence[float], coef: float = 1.0) -> dict:
+    return {"type": SPECULAR, "color": list(color), "coef": coef}
+
+
+def transmissive(color: Sequence[float], ior: float = 1.5) -> dict:
+    return {"type": TRANSMISSIVE, "color": list(color), "coef": ior}
+
+
+def sphere(center: Sequence[float], radius: float, material: int,
+           light: int = -1) -> dict:
+    return {"center": list(center), "radius": radius, "material": material,
+            "light": light}
+
+
+def point_light(pos: Sequence[float], intensity: Sequence[float]) -> dict:
+    return {"type": POINT_LIGHT, "pos": list(pos), "intensity": list(intensity)}
+
+
+def area_light(prim: int, intensity: Sequence[float]) -> dict:
+    return {"type": AREA_LIGHT, "prim": prim, "intensity": list(intensity)}
+
+
+def make_scene(
+    spheres: Sequence[dict],
+    materials: Sequence[dict],
+    lights: Sequence[dict] = (),
+) -> Scene:
+    """Build a padded SoA Scene from declarative python data.
+
+    This is the data-driven scene construction the reference lists as a TODO
+    ("configuration file parsing", main.cpp:126); see io/scene_io.py for the
+    JSON front end.
+    """
+    n_p, n_m, n_l = len(spheres), len(materials), len(lights)
+    # Host-side validation: out-of-range ids would otherwise clamp silently
+    # inside jit gathers and render black (the reference had the same class
+    # of bug live, SURVEY.md §3.6 material-count UB — fail fast instead).
+    for i, s in enumerate(spheres):
+        if not 0 <= s["material"] < n_m:
+            raise ValueError(
+                f"sphere {i}: material id {s['material']} out of range "
+                f"(have {n_m} materials)")
+    for i, l in enumerate(lights):
+        if l["type"] == AREA_LIGHT and not 0 <= l["prim"] < n_p:
+            raise ValueError(
+                f"light {i}: area-light prim {l['prim']} out of range "
+                f"(have {n_p} primitives)")
+    for i, s in enumerate(spheres):
+        li = s.get("light", -1)
+        if li >= n_l:
+            raise ValueError(
+                f"sphere {i}: light id {li} out of range (have {n_l} lights)")
+    P, M, L = _pad_to(n_p), _pad_to(n_m), _pad_to(max(n_l, 1))
+
+    centers = np.zeros((P, 3), np.float32)
+    radii = np.zeros((P,), np.float32)
+    mat_id = np.zeros((P,), np.int32)
+    light_id = np.full((P,), -1, np.int32)
+    valid = np.zeros((P,), bool)
+    for i, s in enumerate(spheres):
+        centers[i] = s["center"]
+        radii[i] = s["radius"]
+        mat_id[i] = s["material"]
+        light_id[i] = s.get("light", -1)
+        valid[i] = True
+
+    mat_color = np.zeros((M, 3), np.float32)
+    mat_coef = np.zeros((M,), np.float32)
+    mat_type = np.zeros((M,), np.int32)
+    for i, m in enumerate(materials):
+        mat_color[i] = m["color"]
+        mat_coef[i] = m["coef"]
+        mat_type[i] = m["type"]
+
+    l_type = np.zeros((L,), np.int32)
+    l_pos = np.zeros((L, 3), np.float32)
+    # Padding rows point at padding prim P-1 (always invalid, non-emissive),
+    # so the emission scatter in prim_attrs is a no-op for them.
+    l_prim = np.full((L,), P - 1, np.int32)
+    l_int = np.zeros((L, 3), np.float32)
+    l_valid = np.zeros((L,), bool)
+    for i, l in enumerate(lights):
+        l_type[i] = l["type"]
+        l_valid[i] = True
+        l_int[i] = l["intensity"]
+        if l["type"] == POINT_LIGHT:
+            l_pos[i] = l["pos"]
+        else:
+            l_prim[i] = l["prim"]
+
+    return Scene(
+        centers=jnp.asarray(centers),
+        radii=jnp.asarray(radii),
+        material_id=jnp.asarray(mat_id),
+        light_id=jnp.asarray(light_id),
+        prim_valid=jnp.asarray(valid),
+        mat_color=jnp.asarray(mat_color),
+        mat_coef=jnp.asarray(mat_coef),
+        mat_type=jnp.asarray(mat_type),
+        light_type=jnp.asarray(l_type),
+        light_pos=jnp.asarray(l_pos),
+        light_prim=jnp.asarray(l_prim),
+        light_intensity=jnp.asarray(l_int),
+        light_valid=jnp.asarray(l_valid),
+        num_prims=n_p,
+        num_lights=n_l,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Built-in scenes
+# ---------------------------------------------------------------------------
+
+def reference_materials() -> list[dict]:
+    """The reference's six materials (main.cpp:133-138)."""
+    return [
+        diffuse([1.0, 1.0, 1.0]),          # 0 default
+        diffuse([0.75, 0.25, 0.25]),       # 1 red
+        diffuse([0.25, 0.25, 0.75]),       # 2 blue
+        diffuse([0.75, 0.75, 0.75]),       # 3 grey
+        specular([0.999, 0.999, 0.999]),   # 4 mirror
+        transmissive([0.999, 0.999, 0.999], 1.5),  # 5 glass
+    ]
+
+
+def cornell_spheres() -> tuple[Scene, dict]:
+    """The reference's active "scene 2" (main.cpp:152-164): a Cornell box
+    built from giant spheres + mirror + glass + a huge emissive sphere.
+
+    Returns (scene, camera_spec) where camera_spec mirrors main.cpp:129.
+    """
+    e5 = 1e5
+    spheres = [
+        sphere([e5 + 50, 40, 0], e5, 2),      # left (blue)
+        sphere([-e5 - 50, 40, 0], e5, 1),     # right (red)
+        sphere([0, 40, -e5 - 80], e5, 3),     # back
+        sphere([0, 40, e5 + 80], e5, 3),      # front
+        sphere([0, -e5, 0], e5, 3),           # bottom
+        sphere([0, e5 + 80, 0], e5, 3),       # top
+        sphere([-25, 16.5, -50], 16.5, 4),    # mirror ball
+        sphere([25, 16.5, -25], 16.5, 5),     # glass ball
+        sphere([0, 579.6, -40], 500, 1, 0),   # emitter
+    ]
+    lights = [area_light(8, [12.0, 12.0, 12.0])]
+    cam = dict(eye=[0, 45, 79.5], look_at=[0, 35, 0], up=[0, 1, 0], fov=60.0)
+    return make_scene(spheres, reference_materials(), lights), cam
+
+
+def small_spheres() -> tuple[Scene, dict]:
+    """The reference's commented-out "scene 1" (main.cpp:142-150): a small
+    box of giant spheres with mirror+glass balls and a small emitter."""
+    e5 = 1e5
+    spheres = [
+        sphere([0, -e5 - 1, 0], e5, 1),       # floor
+        sphere([0, e5 + 3, 0], e5, 1),        # ceiling
+        sphere([0, 0, -e5 - 7], e5, 1),       # back
+        sphere([0, 0, e5 + 7], e5, 1),        # front
+        sphere([-e5 - 4, 0, 0], e5, 2),       # left
+        sphere([e5 + 4, 0, 0], e5, 3),        # right
+        sphere([-1.5, 0, 0], 1.0, 4),
+        sphere([1.5, 0, 0], 1.0, 5),
+        sphere([0, 2.0, 0], 0.5, 1, 0),
+    ]
+    lights = [area_light(8, [12.0, 12.0, 12.0])]
+    cam = dict(eye=[0, 1, 6.5], look_at=[0, 1, 0], up=[0, 1, 0], fov=60.0)
+    return make_scene(spheres, reference_materials(), lights), cam
+
+
+def single_sphere() -> tuple[Scene, dict]:
+    """BASELINE.json config 1: single diffuse sphere + area light.
+
+    CPU-runnable golden-image fixture (SURVEY.md §4 integration tests).
+    """
+    spheres = [
+        sphere([0, 0, 0], 1.0, 0),
+        sphere([0, 3.0, 0], 0.5, 0, 0),
+    ]
+    mats = [diffuse([0.8, 0.6, 0.4])]
+    lights = [area_light(1, [20.0, 20.0, 20.0])]
+    cam = dict(eye=[0, 1.0, 4.0], look_at=[0, 0.5, 0], up=[0, 1, 0], fov=60.0)
+    return make_scene(spheres, mats, lights), cam
+
+
+def cornell_glass() -> tuple[Scene, dict]:
+    """BASELINE.json config 3: Cornell box + mirror/glass spheres.
+
+    Same geometry family as cornell_spheres (the reference's only Cornell
+    variant) with both specular BSDFs exercised.
+    """
+    return cornell_spheres()
+
+
+BUILTIN_SCENES = {
+    "cornell": cornell_spheres,
+    "cornell-glass": cornell_glass,
+    "small": small_spheres,
+    "single-sphere": single_sphere,
+}

@@ -1,0 +1,143 @@
+"""Batched ray-scene intersection: the framework's hottest op.
+
+TPU-native inversion of the reference's per-thread linear scan over
+primitives (reference scene.h:71-94 calling primitive.h:39-45 per sphere):
+instead of one ray walking all spheres sequentially, ALL rays test ALL
+spheres at once, with the two ray-dependent dot products phrased as
+(N,3)x(3,P) matmuls that run on the MXU:
+
+    b      = (c - o)·d        = d @ cᵀ - (o·d)
+    |op|²  = |c - o|²         = |c|² - 2·(o @ cᵀ) + |o|²
+    det    = b² - |op|² + r²
+
+The closest-hit reduction (the scan's shrinking tmax, scene.h:78-80)
+becomes a min/argmin over the primitive axis. Hit-attribute lookup uses
+one-hot matmuls instead of gathers (gathers are slow on TPU; one-hot
+contractions ride the MXU).
+
+The sphere quadratic root selection replicates primitive.h:44 exactly:
+take t0=b-sqrt(det) if tmin<t0<tmax, else t1=b+sqrt(det) if tmin<t1<tmax
+(note: t0>tmax does NOT fall through to t1 — reference semantics).
+"""
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from tpu_pathtracer.models.scene import EPSILON, PrimAttrs, Scene
+from tpu_pathtracer.ops import vecmath as vm
+
+# Finite stand-in for FLT_MAX (reference globals.h:59); keeps inf-inf NaNs
+# out of reverse-mode autodiff.
+BIG = 1e30
+
+
+def _mm(a: Array, b: Array) -> Array:
+    """f32-accurate matmul. JAX's default matmul precision is bf16-class on
+    MXU-style backends; the sphere quadratic's b^2 - |op|^2 cancellation on
+    1e5-radius walls (and exact one-hot gathers) need full float32, so these
+    contractions explicitly request HIGHEST precision."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+@flax.struct.dataclass
+class Hit:
+    """SoA intersection record (reference scene.h:45-64 `Intersection`)."""
+
+    t: Array  # (N,) hit distance, BIG on miss
+    prim: Array  # (N,) int32 primitive index (0 on miss)
+    hit: Array  # (N,) bool
+    p: Array  # (N, 3) hit point
+    n: Array  # (N, 3) outward geometric normal
+    albedo: Array  # (N, 3) material color
+    coef: Array  # (N,) material coefficient (specular scale / IOR)
+    mtype: Array  # (N,) int32 material type
+    emission: Array  # (N, 3) emitted radiance of the hit prim
+
+
+def ray_sphere_t(
+    scene: Scene, o: Array, d: Array, tmin: float = EPSILON, tmax: float = BIG
+) -> Array:
+    """Per (ray, prim) hit distance, (N, P); BIG where missed."""
+    c = scene.centers  # (P,3)
+    r2 = scene.radii * scene.radii  # (P,)
+
+    dc = _mm(d, c.T)  # (N,P) MXU
+    oc = _mm(o, c.T)  # (N,P) MXU
+    od = vm.dot(o, d)[:, None]  # (N,1)
+    o2 = vm.length_sq(o)[:, None]  # (N,1)
+    c2 = vm.length_sq(c)[None, :]  # (1,P)
+
+    b = dc - od
+    op2 = c2 - 2.0 * oc + o2
+    det = b * b - op2 + r2[None, :]
+    sq = vm.safe_sqrt(det)
+    t0 = b - sq
+    t1 = b + sq
+
+    t = jnp.where(
+        t0 > tmin,
+        jnp.where(t0 < tmax, t0, BIG),
+        jnp.where((t1 > tmin) & (t1 < tmax), t1, BIG),
+    )
+    miss = (det < 0.0) | ~scene.prim_valid[None, :]
+    return jnp.where(miss, BIG, t)
+
+
+def intersect_p(
+    scene: Scene, o: Array, d: Array, tmin: float = EPSILON, tmax: Array | float = BIG
+) -> Array:
+    """Any-hit shadow test (reference scene.h:101-108 IntersectP).
+
+    tmax may be per-ray (N,) for visibility segments (light.h:23-32).
+    Returns (N,) bool: True if anything occludes.
+    """
+    tmax_arr = jnp.asarray(tmax)
+    if tmax_arr.ndim == 0:
+        tmax_arr = jnp.full(o.shape[:-1], tmax_arr)
+    t = ray_sphere_t(scene, o, d, tmin=tmin)
+    return jnp.any(t < tmax_arr[:, None], axis=-1)
+
+
+def intersect(
+    scene: Scene,
+    attrs: PrimAttrs,
+    o: Array,
+    d: Array,
+    tmin: float = EPSILON,
+    tmax: float = BIG,
+) -> Hit:
+    """Closest-hit query with gathered shading attributes.
+
+    o, d: (N,3) ray origins/directions. Equivalent to scene.h:71-94 plus the
+    attribute lookups the megakernel did through pointers
+    (pathtracer.cu:126-129).
+    """
+    t_np = ray_sphere_t(scene, o, d, tmin=tmin, tmax=tmax)  # (N,P)
+    t = jnp.min(t_np, axis=-1)
+    idx = jnp.argmin(t_np, axis=-1).astype(jnp.int32)
+    hit = t < (0.5 * BIG)
+
+    # One-hot gather of per-prim data via MXU contraction.
+    P = scene.centers.shape[0]
+    one_hot = (
+        jax.lax.broadcasted_iota(jnp.int32, (o.shape[0], P), 1) == idx[:, None]
+    ).astype(o.dtype)
+
+    center = _mm(one_hot, scene.centers)  # (N,3)
+    radius = _mm(one_hot, scene.radii)  # (N,)
+    albedo = _mm(one_hot, attrs.albedo)
+    emission = _mm(one_hot, attrs.emission)
+    coef = _mm(one_hot, attrs.coef)
+    mtype = _mm(one_hot, attrs.mtype.astype(o.dtype)).astype(jnp.int32)
+
+    p = o + d * t[:, None]
+    # Outward normal (p-c)/r (reference primitive.h:74); safe on miss lanes.
+    n = (p - center) / jnp.maximum(radius, 1e-12)[:, None]
+
+    return Hit(
+        t=t, prim=idx, hit=hit, p=p, n=n,
+        albedo=albedo, coef=coef, mtype=mtype, emission=emission,
+    )
