@@ -39,6 +39,8 @@ class Camera:
     focal_distance: Array  # () focus plane distance
     width: int = flax.struct.field(pytree_node=False, default=640)
     height: int = flax.struct.field(pytree_node=False, default=480)
+    # Static: compiles the thin-lens path only when DOF is actually on.
+    use_dof: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 def _image_plane(view: Array, dist: Array, hfov: Array, vfov: Array,
@@ -97,6 +99,7 @@ def make_camera(
         focal_distance=jnp.asarray(focal_distance, jnp.float32),
         width=width,
         height=height,
+        use_dof=bool(lens_radius > 0.0),
     )
 
 
@@ -130,9 +133,9 @@ def generate_rays(
     d = vm.normalize(d)
     o = jnp.broadcast_to(cam.pos, d.shape)
 
-    if lens_u is not None and lens_v is not None:
-        # Thin-lens: only active when lens_radius > 0 (lax-free select keeps
-        # this jittable for both pinhole and DOF cameras).
+    if cam.use_dof and lens_u is not None and lens_v is not None:
+        # Thin-lens sampling, compiled in only for DOF cameras (use_dof is a
+        # static pytree field set when lens_radius > 0).
         dx, dy = sampling.concentric_sample_disk(lens_u, lens_v)
         u_axis, v_axis = cam.view[0], cam.view[1]
         offset = (
@@ -143,9 +146,8 @@ def generate_rays(
         cos_w = vm.dot(d, cam.view[2])[..., None]
         ft = cam.focal_distance / jnp.maximum(cos_w, 1e-6)
         focus_p = o + d * ft
-        use_dof = cam.lens_radius > 0.0
-        o = jnp.where(use_dof, o + offset, o)
-        d = jnp.where(use_dof, vm.normalize(focus_p - o), d)
+        o = o + offset
+        d = vm.normalize(focus_p - o)
     return o, d
 
 

@@ -55,6 +55,8 @@ class RenderConfig:
     use_nee: bool = flax.struct.field(pytree_node=False, default=False)
     # Remat the bounce body to bound autodiff memory on large renders.
     remat: bool = flax.struct.field(pytree_node=False, default=True)
+    # Make trace() also return the traced-ray count (bench instrumentation).
+    count_rays: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 def _maybe_detach(x: Array, detach: bool) -> Array:
@@ -119,15 +121,22 @@ def trace(
 
         # -- termination + next segment (pathtracer.cu:160-168)
         alive = step_ok & rr_ok & (bounce < config.max_bounces)
+        # Rays the megakernel would actually trace this bounce = live lanes
+        # (dead lanes still compute here — the wavefront trade). Reported
+        # for honest rays/sec accounting in bench.py.
+        live_rays = jnp.sum(alive.astype(jnp.int32))
         new_hit = intersect(scene, attrs, hit.p, wi, tmin=config.tmin)
         alive = alive & new_hit.hit
-        return (L, T, alive, new_hit, wi), None
+        return (L, T, alive, new_hit, wi), live_rays
 
     if config.remat:
         body = jax.checkpoint(body)
 
     bounces = jnp.arange(config.max_bounces + 1)
-    (L, _, _, _, _), _ = lax.scan(body, carry0, bounces)
+    (L, _, _, _, _), live_counts = lax.scan(body, carry0, bounces)
+    if config.count_rays:
+        # primary rays + live secondary segments per bounce
+        return L, jnp.int32(o.shape[0]) + jnp.sum(live_counts)
     return L
 
 
@@ -148,8 +157,11 @@ def render(
     it_key = rng.iteration_key(key, iteration)
     lane_ids = jnp.arange(H * W * spp, dtype=jnp.int32)
 
-    radiance = trace_pixels(scene, camera, lane_ids, it_key, config)
-    return radiance.reshape(H, W, spp, 3).mean(axis=2)
+    out = trace_pixels(scene, camera, lane_ids, it_key, config)
+    if config.count_rays:
+        radiance, n_rays = out
+        return radiance.reshape(H, W, spp, 3).mean(axis=2), n_rays
+    return out.reshape(H, W, spp, 3).mean(axis=2)
 
 
 def trace_pixels(
@@ -174,8 +186,17 @@ def trace_pixels(
 
     u = rng.camera_uniforms(it_key, lane_ids)  # (n,2)
     ox, oy = sampling.stratified_jitter_for_sample(u[:, 0], u[:, 1], s, spp)
-    lu = rng.lens_uniforms(it_key, lane_ids)
-    o, d = cam_mod.generate_rays(camera, px, py, ox, oy, lu[:, 0], lu[:, 1])
+    if camera.use_dof:
+        lu = rng.lens_uniforms(it_key, lane_ids)
+        o, d = cam_mod.generate_rays(camera, px, py, ox, oy, lu[:, 0], lu[:, 1])
+    else:
+        o, d = cam_mod.generate_rays(camera, px, py, ox, oy)
+    # Keep ray generation as its own fusion island: fusing it into the first
+    # bounce-scan intersect SIGILLs this environment's TPU compiler (remote
+    # tpu_compile_helper crash, reproducible). The barrier only materializes
+    # (o, d) once — the reference does the same split for its own reasons
+    # (GenerateRayPool vs RenderKernel, pathtracer.cu:232-238).
+    o, d = jax.lax.optimization_barrier((o, d))
     return trace(scene, o, d, lane_ids, it_key, config)
 
 
