@@ -33,7 +33,7 @@ from jax import Array, lax
 from tpu_pathtracer.models import camera as cam_mod
 from tpu_pathtracer.models.camera import Camera
 from tpu_pathtracer.models.scene import EPSILON, Scene, prim_attrs
-from tpu_pathtracer.ops import bsdf, sampling, vecmath as vm
+from tpu_pathtracer.ops import bsdf, lights, sampling, vecmath as vm
 from tpu_pathtracer.ops.intersect import BIG, Hit, intersect, intersect_p
 from tpu_pathtracer.utils import rng
 
@@ -84,16 +84,70 @@ def trace(
     L0 = jnp.zeros_like(o)
     T0 = jnp.ones_like(o)
     alive0 = hit0.hit  # miss before first bounce contributes nothing
-    carry0 = (L0, T0, alive0, hit0, d)
+    # MIS state: pdf of the BSDF sample that produced the current hit, and
+    # whether it was a delta lobe (primary rays count as delta: full emitter
+    # credit at bounce 0 — the reference's commented specularBounce logic,
+    # pathtracer.cu:117,133,148, implemented live).
+    # Derive from o (not fresh constants) so the values carry shard_map's
+    # varying-axes tag and match the scan body's output types under pjit.
+    prev_pdf0 = o[:, 0] * 0.0
+    prev_delta0 = prev_pdf0 <= 0.0  # all-True, varying
+    carry0 = (L0, T0, alive0, hit0, d, prev_pdf0, prev_delta0, o)
 
     def body(carry, bounce):
-        L, T, alive, hit, wo = carry
+        L, T, alive, hit, wo, prev_pdf, prev_delta, prev_o = carry
         u = rng.bounce_uniforms(it_key, bounce, lane_ids)
 
         # -- emitter-hit contribution (pathtracer.cu:134-137 + light.h:43-45)
         one_sided = vm.dot(hit.n, -wo) > 0.0
         take_le = alive & one_sided
-        L = L + T * hit.emission * take_le[:, None].astype(T.dtype)
+        if config.use_nee:
+            # MIS: weight BSDF-sampled emitter hits against the light
+            # sampler's pdf for the same direction (PowerHeuristic,
+            # montecarlo.h:156-159 — dead in the reference, live here).
+            is_light = ~vm.is_black(hit.emission)
+            lp = lights.light_dir_pdf(
+                scene, prev_o, wo, hit.center, hit.radius, is_light
+            )
+            w_emit = jnp.where(
+                prev_delta, 1.0, sampling.power_heuristic(1.0, prev_pdf, 1.0, lp)
+            )
+        else:
+            w_emit = jnp.ones_like(prev_pdf)
+        L = L + T * hit.emission * (
+            take_le.astype(T.dtype) * w_emit
+        )[:, None]
+
+        # -- next-event estimation (live version of scene.h:150-170)
+        if config.use_nee:
+            ul = rng.light_uniforms(it_key, bounce, lane_ids)
+            ls = lights.sample_lights(scene, hit.p, ul, tmin=config.tmin)
+            f_l = bsdf.f(hit.mtype, hit.albedo, wo, ls.wi, hit.n)
+            pdf_b = bsdf.pdf(hit.mtype, wo, ls.wi, hit.n)
+            # Visibility segment. The reference's dead code shrinks the far
+            # end RELATIVELY (maxt = dist*(1-eps), light.h:27) — at its
+            # Cornell scale that cuts 3% of a ~500-unit segment and would
+            # miss occluders hugging the light (the ceiling the emitter
+            # pokes through). Use a tight shrink instead: enough to exclude
+            # the light surface itself (f32 quadratic error on giant
+            # spheres), not enough to skip real occluders.
+            vis_tmax = ls.dist * (1.0 - 1e-3) - EPSILON
+            occluded = intersect_p(
+                scene, hit.p, ls.wi, tmin=config.tmin, tmax=vis_tmax
+            )
+            w_l = jnp.where(
+                ls.is_delta,
+                1.0,
+                sampling.power_heuristic(1.0, ls.pdf, 1.0, pdf_b),
+            )
+            cos_l = jnp.abs(vm.dot(ls.wi, hit.n))
+            take_nee = alive & ls.valid & ~occluded
+            contrib = (
+                f_l
+                * ls.radiance
+                * (cos_l * w_l / jnp.maximum(ls.pdf, 1e-20))[:, None]
+            )
+            L = L + T * contrib * take_nee[:, None].astype(T.dtype)
 
         # -- BSDF sampling (pathtracer.cu:141-149)
         f_val, wi, pdf = bsdf.sample(
@@ -127,13 +181,17 @@ def trace(
         live_rays = jnp.sum(alive.astype(jnp.int32))
         new_hit = intersect(scene, attrs, hit.p, wi, tmin=config.tmin)
         alive = alive & new_hit.hit
-        return (L, T, alive, new_hit, wi), live_rays
+        new_prev_delta = bsdf.is_specular_type(hit.mtype)
+        return (
+            (L, T, alive, new_hit, wi, pdf, new_prev_delta, hit.p),
+            live_rays,
+        )
 
     if config.remat:
         body = jax.checkpoint(body)
 
     bounces = jnp.arange(config.max_bounces + 1)
-    (L, _, _, _, _), live_counts = lax.scan(body, carry0, bounces)
+    (L, *_), live_counts = lax.scan(body, carry0, bounces)
     if config.count_rays:
         # primary rays + live secondary segments per bounce
         return L, jnp.int32(o.shape[0]) + jnp.sum(live_counts)

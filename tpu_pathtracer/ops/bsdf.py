@@ -23,21 +23,39 @@ from tpu_pathtracer.ops import optics, sampling, vecmath as vm
 INV_PI = 1.0 / jnp.pi
 
 
+def _diffuse_support(wo: Array, wi: Array, n: Array) -> Array:
+    """Directions the diffuse sampler can actually produce: the +n
+    hemisphere (cosine sampling around n, scene.h:183) intersected with the
+    reference's wo.wi < 0 gate (scene.h:184).
+
+    The reference's `Material::F` (material.h:37-43) returns albedo/pi with
+    NO support check — harmless in its megakernel, which only ever
+    evaluates F on sampled directions, but a light-leak enabler for NEE:
+    a shadow ray leaving the back side of a surface would be credited
+    (e.g. ceiling points lit by emitter points embedded inside the ceiling
+    sphere in the reference's own Cornell scene, where the giant emitter
+    interpenetrates the walls). f/pdf here are honest functions with the
+    sampler's support, which also keeps MIS weights consistent.
+    """
+    return (vm.dot(wi, n) > 0.0) & (vm.dot(wo, wi) < 0.0)
+
+
 def f(mtype: Array, albedo: Array, wo: Array, wi: Array, n: Array) -> Array:
-    """BSDF value for a given direction pair (material.h:37-43).
+    """BSDF value for a given direction pair (material.h:37-43 + support).
 
     Only the diffuse lobe has a finite directional density; specular and
     transmissive lanes return 0 (their transport happens only via sampling).
     """
-    diffuse_f = albedo * INV_PI
+    sup = _diffuse_support(wo, wi, n)
+    diffuse_f = albedo * INV_PI * sup[..., None]
     return jnp.where((mtype == DIFFUSE)[..., None], diffuse_f, 0.0)
 
 
 def pdf(mtype: Array, wo: Array, wi: Array, n: Array) -> Array:
-    """Directional pdf of `sample` for non-delta lobes (scene.h:136-144)."""
-    diffuse_pdf = jnp.where(
-        -vm.dot(wo, wi) > 0.0, vm.dot(wi, n) * INV_PI, 0.0
-    )
+    """Directional pdf of `sample` for non-delta lobes (scene.h:136-144,
+    restricted to the sampler's support so it is a valid density)."""
+    sup = _diffuse_support(wo, wi, n)
+    diffuse_pdf = jnp.where(sup, vm.dot(wi, n) * INV_PI, 0.0)
     return jnp.where(mtype == DIFFUSE, diffuse_pdf, 0.0)
 
 

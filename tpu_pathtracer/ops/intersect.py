@@ -51,6 +51,8 @@ class Hit:
     hit: Array  # (N,) bool
     p: Array  # (N, 3) hit point
     n: Array  # (N, 3) outward geometric normal
+    center: Array  # (N, 3) hit sphere center (for area-light pdfs)
+    radius: Array  # (N,) hit sphere radius
     albedo: Array  # (N, 3) material color
     coef: Array  # (N,) material coefficient (specular scale / IOR)
     mtype: Array  # (N,) int32 material type
@@ -138,6 +140,6 @@ def intersect(
     n = (p - center) / jnp.maximum(radius, 1e-12)[:, None]
 
     return Hit(
-        t=t, prim=idx, hit=hit, p=p, n=n,
+        t=t, prim=idx, hit=hit, p=p, n=n, center=center, radius=radius,
         albedo=albedo, coef=coef, mtype=mtype, emission=emission,
     )

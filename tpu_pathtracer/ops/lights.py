@@ -1,0 +1,181 @@
+"""Light sampling for next-event estimation (NEE) + MIS support.
+
+Live, corrected implementation of the reference's DEAD direct-lighting
+machinery (SURVEY.md §2 "Light sampling / NEE machinery is dead code"):
+`SampleLight` (reference scene.h:150-170), sphere-light solid-angle `Pdf`
+(scene.h:110-130), cone sampling toward a sphere (primitive.h:55-72), and
+the `VisibilityTester` segment convention (light.h:23-32).
+
+Deviations from the reference's dead code, on purpose (SURVEY.md §3.6):
+  - emission one-sidedness: the reference's `SampleLight` calls
+    `L(p, -wi, ns)` which tests ns·wi > 0 — backwards for a point on the
+    near side of the light sphere (its dead NEE would return 0). We use
+    ns·(-wi) > 0: the light contributes if its surface faces the receiver,
+    matching the emitter-hit convention (light.h:43-45 with w = ray dir).
+  - the `thit = Intersect(r) > 0` precedence bug (primitive.h:67) is not
+    reproduced: the cone-sampled point is projected onto the sphere with
+    the chord formula directly.
+
+All functions are batched over N shading points with masked lane selects.
+"""
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from tpu_pathtracer.models.scene import AREA_LIGHT, EPSILON, POINT_LIGHT, Scene
+from tpu_pathtracer.ops import sampling, vecmath as vm
+
+
+def _mm(a: Array, b: Array) -> Array:
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+@flax.struct.dataclass
+class LightSample:
+    """One light sample per lane (reference SampleLight out-params)."""
+
+    radiance: Array  # (N, 3) emitted radiance toward the receiver (pre-vis)
+    wi: Array  # (N, 3) direction receiver -> light sample
+    pdf: Array  # (N,) solid-angle pdf (includes light-selection prob)
+    dist: Array  # (N,) distance to the sampled point
+    is_delta: Array  # (N,) bool — point lights (no MIS)
+    valid: Array  # (N,) bool — a real light was sampled
+
+
+def sample_lights(
+    scene: Scene,
+    p: Array,
+    u: Array,
+    tmin: float = EPSILON,
+) -> LightSample:
+    """Sample one light uniformly among the scene's lights, per lane.
+
+    p: (N,3) shading points; u: (N,3) uniforms (area u, area v, select).
+    Mirrors reference scene.h:150-170 with the corrections noted above.
+    """
+    n_lights = max(scene.num_lights, 1)
+    L = scene.light_type.shape[0]
+    n = p.shape[0]
+
+    # --- uniform light selection (generalizes the reference's single
+    # hard-coded light, main.cpp:164) --------------------------------------
+    li = jnp.minimum((u[:, 2] * n_lights).astype(jnp.int32), n_lights - 1)
+    one_hot = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, L), 1) == li[:, None]
+    ).astype(p.dtype)
+    l_type = _mm(one_hot, scene.light_type.astype(p.dtype)).astype(jnp.int32)
+    l_pos = _mm(one_hot, scene.light_pos)
+    l_int = _mm(one_hot, scene.light_intensity)
+    l_valid = _mm(one_hot, scene.light_valid.astype(p.dtype)) > 0.5
+
+    # Area lights reference a primitive; gather its sphere.
+    l_prim = _mm(one_hot, scene.light_prim.astype(p.dtype)).astype(jnp.int32)
+    P = scene.centers.shape[0]
+    prim_hot = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, P), 1) == l_prim[:, None]
+    ).astype(p.dtype)
+    c = _mm(prim_hot, scene.centers)  # (N,3)
+    r = _mm(prim_hot, scene.radii)  # (N,)
+
+    sel_pdf = 1.0 / n_lights
+
+    # --- point-light branch (scene.h:153-158) ------------------------------
+    to_l = l_pos - p
+    d2_point = vm.length_sq(to_l)
+    dist_point = vm.safe_sqrt(d2_point)
+    wi_point = to_l / jnp.maximum(dist_point, 1e-12)[:, None]
+    rad_point = l_int / jnp.maximum(d2_point, 1e-12)[:, None]
+
+    # --- area-light branch: cone sampling toward the sphere
+    # (primitive.h:55-72 + scene.h:160-168) ---------------------------------
+    wc_raw = c - p
+    d2 = vm.length_sq(wc_raw)
+    dist_c = vm.safe_sqrt(d2)
+    wc = wc_raw / jnp.maximum(dist_c, 1e-12)[:, None]
+    wc_x, wc_y = vm.orthonormal_basis(wc)
+
+    inside = d2 - r * r < 1e-4  # degenerate: receiver inside the light
+    sin2_tmax = jnp.clip(r * r / jnp.maximum(d2, 1e-12), 0.0, 1.0)
+    cos_tmax = vm.safe_sqrt(1.0 - sin2_tmax)
+
+    wi_cone = sampling.uniform_sample_cone(u[:, 0], u[:, 1], cos_tmax, wc_x, wc_y, wc)
+    # Project the cone ray onto the sphere: nearest root of the chord.
+    b = vm.dot(wc_raw, wi_cone)  # = dot(c - p, wi)
+    det = b * b - d2 + r * r
+    thit = b - vm.safe_sqrt(jnp.maximum(det, 0.0))
+    # Grazing rays can numerically miss; fall back to the tangent distance
+    # (the reference's dead code had a precedence bug here, primitive.h:67).
+    thit = jnp.where(det >= 0.0, thit, b)
+    ps_cone = p + wi_cone * thit[:, None]
+
+    # Inside the sphere: uniform surface sampling (primitive.h:50-54).
+    sph = sampling.uniform_sample_sphere(u[:, 0], u[:, 1])
+    ps_inside = c + sph * r[:, None]
+
+    ps = jnp.where(inside[:, None], ps_inside, ps_cone)
+    ns = (ps - c) / jnp.maximum(r, 1e-12)[:, None]
+    to_s = ps - p
+    dist_area = vm.length(to_s)
+    wi_area = to_s / jnp.maximum(dist_area, 1e-12)[:, None]
+
+    # pdf in solid angle (scene.h:110-130 semantics):
+    #   outside: uniform cone pdf; inside: area pdf converted to solid angle.
+    pdf_cone = sampling.uniform_cone_pdf(cos_tmax)
+    area = 4.0 * jnp.pi * r * r
+    cos_at_light = jnp.abs(vm.dot(ns, -wi_area))
+    pdf_inside = (dist_area * dist_area) / jnp.maximum(
+        cos_at_light * area, 1e-12
+    )
+    pdf_area = jnp.where(inside, pdf_inside, pdf_cone)
+
+    # One-sided emission: light front face must see the receiver (corrected
+    # sign, see module docstring).
+    front = vm.dot(ns, -wi_area) > 0.0
+    rad_area = l_int * front[:, None]
+
+    # --- select branch ------------------------------------------------------
+    is_point = l_type == POINT_LIGHT
+    is_area = l_type == AREA_LIGHT
+    radiance = jnp.where(is_point[:, None], rad_point, rad_area)
+    wi = jnp.where(is_point[:, None], wi_point, wi_area)
+    # pdf includes the selection probability: the estimator divides by
+    # (pdf_dir * sel_pdf), i.e. contributions scale by n_lights.
+    pdf = jnp.where(is_point, 1.0, pdf_area) * sel_pdf
+    dist = jnp.where(is_point, dist_point, dist_area)
+    valid = l_valid & (is_point | is_area) & (pdf > 0.0)
+    return LightSample(
+        radiance=radiance, wi=wi, pdf=pdf, dist=dist,
+        is_delta=is_point, valid=valid,
+    )
+
+
+def light_dir_pdf(
+    scene: Scene,
+    p: Array,
+    wi: Array,
+    hit_center: Array,
+    hit_radius: Array,
+    hit_is_light: Array,
+) -> Array:
+    """pdf (solid angle, incl. selection) of sampling direction wi from p
+    via `sample_lights`, given that wi hits the light sphere described by
+    (hit_center, hit_radius). The MIS counterweight for emitter hits
+    (scene.h:110-130 `Pdf`).
+    """
+    n_lights = max(scene.num_lights, 1)
+    d2 = vm.distance_sq(p, hit_center)
+    sin2_tmax = jnp.clip(
+        hit_radius * hit_radius / jnp.maximum(d2, 1e-12), 0.0, 1.0
+    )
+    inside = d2 - hit_radius * hit_radius < 1e-4
+    cos_tmax = vm.safe_sqrt(1.0 - sin2_tmax)
+    pdf = sampling.uniform_cone_pdf(cos_tmax)
+    # Inside-the-sphere receivers: area-pdf conversion is direction-dependent;
+    # approximate with the cone limit (cos_tmax -> 0 => uniform sphere pdf),
+    # matching the reference's intent for this rare case.
+    pdf = jnp.where(inside, 1.0 / (4.0 * jnp.pi), pdf)
+    pdf = pdf * (1.0 / n_lights)
+    return jnp.where(hit_is_light, pdf, 0.0)
