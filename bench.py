@@ -28,12 +28,13 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/tpupt_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from tpu_pathtracer.models import camera as cm, scene as sc
-from tpu_pathtracer.models.integrator import RenderConfig, render
+from tpu_pathtracer.ops.pallas.trace_kernel import pallas_render, pack_camera
 
 TARGET_RAYS_PER_SEC = 5e9  # BASELINE.json north star (1x v5p chip)
 
 WIDTH, HEIGHT, SPP, MAX_BOUNCES = 640, 480, 4, 10
 WARMUP, ITERS = 2, 10
+TILE_ROWS = 32  # best measured tile size on v5e
 
 
 def main() -> None:
@@ -41,29 +42,28 @@ def main() -> None:
     camera = cm.make_camera(
         cs["eye"], cs["look_at"], cs["up"], WIDTH, HEIGHT, cs["fov"]
     )
-    cfg = RenderConfig(spp=SPP, max_bounces=MAX_BOUNCES, remat=False)
-    cfg_counted = RenderConfig(
-        spp=SPP, max_bounces=MAX_BOUNCES, remat=False, count_rays=True
-    )
-    key = jax.random.key(0)
+    cp = pack_camera(camera)
 
-    fast = jax.jit(lambda it: render(scene, camera, key, cfg, iteration=it))
-    counted = jax.jit(
-        lambda it: render(scene, camera, key, cfg_counted, iteration=it)[1]
-    )
+    def frame(it: int):
+        return pallas_render(
+            scene, cp, jnp.asarray([0, it, 7], jnp.int32),
+            spp=SPP, width=WIDTH, height=HEIGHT,
+            max_bounces=MAX_BOUNCES, tile_rows=TILE_ROWS,
+        )
 
-    # Count rays for the iterations we will time (RR makes it data-dependent).
+    # Count rays for the iterations we will time (RR makes it
+    # data-dependent), and warm up the compile.
     total_rays = 0
     for it in range(ITERS):
-        total_rays += int(counted(jnp.int32(it)))
-
-    # Warm up / compile.
+        _, nrays = frame(it)
+        total_rays += int(nrays)
     for it in range(WARMUP):
-        fast(jnp.int32(1000 + it)).block_until_ready()
+        img, _ = frame(1000 + it)
+    img.block_until_ready()
 
     t0 = time.perf_counter()
     for it in range(ITERS):
-        img = fast(jnp.int32(it))
+        img, _ = frame(it)
     img.block_until_ready()
     elapsed = time.perf_counter() - t0
 

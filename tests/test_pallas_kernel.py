@@ -1,0 +1,73 @@
+"""Tests for the fused Pallas trace kernel (TPU only).
+
+The CPU suite skips these: the kernel uses TPU hardware PRNG primitives.
+On a TPU chip, the kernel must agree with the XLA wavefront integrator in
+distribution (same estimator, different RNG streams) and be deterministic.
+Run manually on TPU:  python -m pytest tests/test_pallas_kernel.py --no-header
+(without the conftest CPU override:  TPUPT_TPU_TESTS=1)
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+if jax.devices()[0].platform == "cpu":
+    pytest.skip(
+        "pallas trace kernel needs a TPU (hardware PRNG)",
+        allow_module_level=True,
+    )
+
+from tpu_pathtracer.models import camera as cm, scene as sc
+from tpu_pathtracer.models.integrator import RenderConfig, render_image
+from tpu_pathtracer.ops.pallas.trace_kernel import pallas_render, pack_camera
+
+
+def test_matches_xla_integrator_in_distribution():
+    scene, cs = sc.cornell_spheres()
+    W, H, SPP, MB = 64, 48, 4, 10
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], W, H, cs["fov"])
+    acc_p = acc_x = 0.0
+    for it in range(15):
+        ip, _ = pallas_render(
+            scene, pack_camera(cam), jnp.asarray([0, it, 7], jnp.int32),
+            spp=SPP, width=W, height=H, max_bounces=MB,
+        )
+        acc_p += float(jnp.mean(ip))
+        acc_x += float(
+            jnp.mean(render_image(scene, cam, jax.random.key(0),
+                                  RenderConfig(spp=SPP, max_bounces=MB),
+                                  iteration=it))
+        )
+    assert abs(acc_p / acc_x - 1.0) < 0.03
+
+
+def test_deterministic_and_iteration_decorrelated():
+    scene, cs = sc.single_sphere()
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 32, 32, cs["fov"])
+    kw = dict(spp=4, width=32, height=32, max_bounces=3)
+    a, na = pallas_render(scene, pack_camera(cam), jnp.asarray([0, 0, 7], jnp.int32), **kw)
+    b, _ = pallas_render(scene, pack_camera(cam), jnp.asarray([0, 0, 7], jnp.int32), **kw)
+    c, _ = pallas_render(scene, pack_camera(cam), jnp.asarray([0, 1, 7], jnp.int32), **kw)
+    assert np.array_equal(np.array(a), np.array(b))
+    assert not np.array_equal(np.array(a), np.array(c))
+    assert int(na) >= 32 * 32 * 4  # at least the primary rays
+
+
+def test_tile_size_invariance():
+    """Same seed, different tile_rows -> different streams per tile, but the
+    estimator mean must agree within MC tolerance."""
+    scene, cs = sc.cornell_spheres()
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 64, 48, cs["fov"])
+    means = []
+    for rows in (8, 32):
+        acc = 0.0
+        for it in range(10):
+            img, _ = pallas_render(
+                scene, pack_camera(cam), jnp.asarray([0, it, 7], jnp.int32),
+                spp=4, width=64, height=48, max_bounces=10, tile_rows=rows,
+            )
+            acc += float(jnp.mean(img))
+        means.append(acc / 10)
+    assert abs(means[0] / means[1] - 1.0) < 0.05

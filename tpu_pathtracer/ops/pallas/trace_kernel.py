@@ -1,0 +1,447 @@
+"""Fused path-trace Pallas kernel: the whole bounce loop on-chip.
+
+This is the performance path (SURVEY.md §7 stage 5). Where the XLA
+wavefront (models/integrator.py) materializes the full SoA carry to HBM
+between bounce steps, this kernel keeps every lane's path state (origin,
+direction, throughput, radiance, liveness) in VMEM for ALL bounces of a
+lane tile — the TPU-native answer to the reference's megakernel
+(pathtracer.cu:112-170): per-tile megakernel, per-lane wavefront.
+
+Layout: lanes are tiled (tile_rows, 128) per vec component (true SoA —
+x/y/z as separate 2D tiles), the natural VPU shape. The primitive loop is
+UNROLLED over the scene — each sphere's params are scalars from SMEM
+broadcast against lane tiles, so no (N, P) buffer ever exists.
+
+RNG: the TPU hardware PRNG (pltpu.prng_seed/prng_random_bits), seeded per
+(seed, iteration, tile, salt, bounce) via a murmur-style fold —
+deterministic for a fixed tile size, replayable per bounce (the property
+path-replay backprop needs). Streams differ from the XLA threefry path,
+so images agree with the XLA integrator in distribution (MC tolerance),
+not bit-for-bit.
+
+Parity: integrator math is identical to models/integrator.py (emitter-hit
+accumulation, cosine/specular/dielectric BSDFs, Russian roulette after
+rr_start with p = min(0.5, max(T)), bounce cap, miss termination).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_pathtracer.models.scene import (
+    DIFFUSE, SPECULAR, TRANSMISSIVE, EPSILON, Scene, prim_attrs,
+)
+
+LANES = 128  # VPU lane width: last dim of every tile
+BIG = 1e30
+INV_PI = 1.0 / math.pi
+
+def _bits_to_uniform(bits):
+    """random bits -> float32 in [0, 1): take the top 24 bits.
+
+    prng_random_bits yields SIGNED int32; bitcast to uint32 first so the
+    shift is logical, not arithmetic (else uniforms land in [-0.5, 0.5]).
+    """
+    ubits = pltpu.bitcast(bits, jnp.uint32) >> jnp.uint32(8)
+    # Mosaic can't cast uint32->f32; the top-24-bit value fits int32 exactly.
+    return pltpu.bitcast(ubits, jnp.int32).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 24)
+    )
+
+
+def _mix32(a, b):
+    """Murmur3-style finalizer mix of two int32 scalars -> one int32.
+
+    The TPU PRNG seed op takes at most 2 words; this folds the stream
+    coordinates (seed, iteration, tile, salt, bounce) down to 2 well-mixed
+    words so distinct coordinates get decorrelated streams.
+    """
+    c1 = jnp.uint32(np.uint32(0x9E3779B1))
+    c2 = jnp.uint32(np.uint32(0x85EBCA6B))
+    c3 = jnp.uint32(np.uint32(0xC2B2AE35))
+    h = a.astype(jnp.uint32) ^ (b.astype(jnp.uint32) * c1)
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * c2
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * c3
+    h = h ^ (h >> jnp.uint32(16))
+    return h.astype(jnp.int32)
+
+
+def _seed_streams(seed, iteration, tile, salt, stream):
+    """Seed the hardware PRNG for one (frame, tile, bounce/stream)."""
+    w1 = _mix32(_mix32(seed, iteration), tile)
+    w2 = _mix32(_mix32(salt, stream), _mix32(tile, iteration))
+    pltpu.prng_seed(w1, w2)
+
+
+def _rand(shape):
+    return _bits_to_uniform(pltpu.prng_random_bits(shape))
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
+    return x * inv, y * inv, z * inv
+
+
+def _trace_kernel(
+    # scalar-prefetch operand
+    seed_ref,  # (3,) int32: [seed, iteration, salt]
+    # SMEM operands
+    prims_ref,  # (P, 12) f32: cx cy cz r ax ay az coef mtype ex ey ez
+    cam_ref,  # (16,) f32 packed camera
+    # outputs
+    lr_ref, lg_ref, lb_ref,  # (ROWS, 128) radiance per channel
+    nrays_ref,  # (n_tiles, 1) int32 live-ray counters
+    *,
+    rows: int,
+    n_prims: int,
+    spp: int,
+    width: int,
+    max_bounces: int,
+    rr_start: int,
+    tmin: float,
+    n_lanes: int,
+):
+    tile = pl.program_id(0)
+    shape = (rows, LANES)
+    fzeros = jnp.zeros(shape, jnp.float32)
+
+    # ---- lane ids -> pixel coords (integrator.trace_pixels lane layout)
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        + tile * (rows * LANES)
+    )
+    s = lane % spp
+    pix = lane // spp
+    px = (pix % width).astype(jnp.float32)
+    py = (pix // width).astype(jnp.float32)
+
+    # ---- camera ray generation (camera.h:66-72 semantics)
+    _seed_streams(seed_ref[0], seed_ref[1], tile, seed_ref[2], jnp.int32(0))
+    u_cam = _rand(shape)
+    v_cam = _rand(shape)
+    k = int(round(spp ** 0.5))
+    if k * k == spp and k > 1:
+        cx = (s % k).astype(jnp.float32)
+        cy = (s // k).astype(jnp.float32)
+        jx = (cx + u_cam) / k - 0.5
+        jy = (cy + v_cam) / k - 0.5
+    else:
+        jx = u_cam - 0.5
+        jy = v_cam - 0.5
+    sx = px + jx
+    sy = py + jy
+    dx = cam_ref[0] - cam_ref[6] * sy + cam_ref[3] * sx
+    dy = cam_ref[1] - cam_ref[7] * sy + cam_ref[4] * sx
+    dz = cam_ref[2] - cam_ref[8] * sy + cam_ref[5] * sx
+    dx, dy, dz = _normalize3(dx, dy, dz)
+    ox = fzeros + cam_ref[9]
+    oy = fzeros + cam_ref[10]
+    oz = fzeros + cam_ref[11]
+
+    def intersect(ox, oy, oz, dx, dy, dz):
+        """Unrolled closest-hit over the scene (scene.h:71-94 semantics)."""
+        best_t = fzeros + BIG
+        best_p = jnp.zeros(shape, jnp.int32)
+        for p in range(n_prims):
+            opx = prims_ref[p, 0] - ox
+            opy = prims_ref[p, 1] - oy
+            opz = prims_ref[p, 2] - oz
+            r = prims_ref[p, 3]
+            b = _dot3(opx, opy, opz, dx, dy, dz)
+            det = b * b - _dot3(opx, opy, opz, opx, opy, opz) + r * r
+            sq = jnp.sqrt(jnp.maximum(det, 0.0))
+            t0 = b - sq
+            t1 = b + sq
+            # reference primitive.h:44 root selection (shrinking tmax scan)
+            t = jnp.where(
+                t0 > tmin,
+                jnp.where(t0 < best_t, t0, BIG),
+                jnp.where((t1 > tmin) & (t1 < best_t), t1, BIG),
+            )
+            t = jnp.where(det < 0.0, BIG, t)
+            closer = t < best_t
+            best_t = jnp.where(closer, t, best_t)
+            best_p = jnp.where(closer, p, best_p)
+        hit = best_t < (0.5 * BIG)
+        hx = ox + dx * best_t
+        hy = oy + dy * best_t
+        hz = oz + dz * best_t
+        # gather per-prim attrs by unrolled select
+        nx = fzeros; ny = fzeros; nz = fzeros
+        ar = fzeros; ag = fzeros; ab = fzeros
+        er = fzeros; eg = fzeros; eb = fzeros
+        coef = fzeros
+        mtype = jnp.zeros(shape, jnp.int32)
+        for p in range(n_prims):
+            is_p = best_p == p
+            nx = jnp.where(is_p, (hx - prims_ref[p, 0]) / prims_ref[p, 3], nx)
+            ny = jnp.where(is_p, (hy - prims_ref[p, 1]) / prims_ref[p, 3], ny)
+            nz = jnp.where(is_p, (hz - prims_ref[p, 2]) / prims_ref[p, 3], nz)
+            ar = jnp.where(is_p, prims_ref[p, 4], ar)
+            ag = jnp.where(is_p, prims_ref[p, 5], ag)
+            ab = jnp.where(is_p, prims_ref[p, 6], ab)
+            coef = jnp.where(is_p, prims_ref[p, 7], coef)
+            mtype = jnp.where(is_p, prims_ref[p, 8].astype(jnp.int32), mtype)
+            er = jnp.where(is_p, prims_ref[p, 9], er)
+            eg = jnp.where(is_p, prims_ref[p, 10], eg)
+            eb = jnp.where(is_p, prims_ref[p, 11], eb)
+        return (hit, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, mtype,
+                er, eg, eb)
+
+    h0 = intersect(ox, oy, oz, dx, dy, dz)
+    (hit, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, mtype, er, eg, eb) = h0
+
+    Lr = fzeros; Lg = fzeros; Lb = fzeros
+    Tr = fzeros + 1.0; Tg = fzeros + 1.0; Tb = fzeros + 1.0
+    alive = hit & (lane < n_lanes)  # padded tail lanes never trace
+    wox, woy, woz = dx, dy, dz
+    n_live = jnp.sum((lane < n_lanes).astype(jnp.int32))  # primary rays
+
+    for bounce in range(max_bounces + 1):
+        # ---- per-bounce uniforms (bsdf u, v, rr)
+        _seed_streams(seed_ref[0], seed_ref[1], tile, seed_ref[2],
+                      jnp.int32(bounce + 1))
+        u1 = _rand(shape)
+        u2 = _rand(shape)
+        u3 = _rand(shape)
+
+        # ---- emitter-hit accumulation (pathtracer.cu:134-137)
+        one_sided = _dot3(nx, ny, nz, -wox, -woy, -woz) > 0.0
+        take = (alive & one_sided).astype(jnp.float32)
+        Lr = Lr + Tr * er * take
+        Lg = Lg + Tg * eg * take
+        Lb = Lb + Tb * eb * take
+
+        # ---- BSDF sampling (scene.h:177-221, masked lanes)
+        is_d = mtype == DIFFUSE
+        is_s = mtype == SPECULAR
+
+        # diffuse: concentric disk -> cosine hemisphere in the n frame
+        sx_ = 2.0 * u1 - 1.0
+        sy_ = 2.0 * u2 - 1.0
+        in_r12 = sx_ >= -sy_
+        in_r1 = in_r12 & (sx_ > sy_)
+        in_r2 = in_r12 & ~in_r1
+        in_r3 = ~in_r12 & (sx_ <= sy_)
+        safe = lambda a, b: a / jnp.where(jnp.abs(b) > 0.0, b, 1.0)
+        rr_ = jnp.where(in_r1, sx_,
+              jnp.where(in_r2, sy_, jnp.where(in_r3, -sx_, -sy_)))
+        th = jnp.where(in_r1, safe(sy_, sx_),
+             jnp.where(in_r2, 2.0 - safe(sx_, sy_),
+             jnp.where(in_r3, 4.0 + safe(sy_, sx_), 6.0 - safe(sx_, sy_))))
+        th = th * (math.pi / 4.0)
+        degen = (sx_ == 0.0) & (sy_ == 0.0)
+        ldx = jnp.where(degen, 0.0, rr_ * jnp.cos(th))
+        ldy = jnp.where(degen, 0.0, rr_ * jnp.sin(th))
+        ldz = jnp.sqrt(jnp.maximum(1.0 - ldx * ldx - ldy * ldy, 0.0))
+        # ONB around n (normalized tangent, vecmath.orthonormal_basis)
+        use_x = jnp.abs(nx) > jnp.abs(nz)
+        ux = jnp.where(use_x, -ny, 0.0)
+        uy = jnp.where(use_x, nx, -nz)
+        uz = jnp.where(use_x, 0.0, ny)
+        ux, uy, uz = _normalize3(ux, uy, uz)
+        vx = ny * uz - nz * uy
+        vy = nz * ux - nx * uz
+        vz = nx * uy - ny * ux
+        wdx = ux * ldx + vx * ldy + nx * ldz
+        wdy = uy * ldx + vy * ldy + ny * ldz
+        wdz = uz * ldx + vz * ldy + nz * ldz
+        wdx, wdy, wdz = _normalize3(wdx, wdy, wdz)
+        cos_d = _dot3(wdx, wdy, wdz, nx, ny, nz)
+        pdf_d = jnp.where(
+            _dot3(wox, woy, woz, wdx, wdy, wdz) < 0.0,
+            jnp.abs(cos_d) * INV_PI, 0.0,
+        )
+
+        # specular mirror
+        won = _dot3(wox, woy, woz, nx, ny, nz)
+        wsx = wox - 2.0 * won * nx
+        wsy = woy - 2.0 * won * ny
+        wsz = woz - 2.0 * won * nz
+
+        # dielectric (scene.h:194-218 + globals.h:111-126)
+        entering = won < 0.0
+        ior = jnp.maximum(coef, 1.0)
+        n1 = jnp.where(entering, 1.0, ior)
+        n2 = jnp.where(entering, ior, 1.0)
+        sgn = jnp.where(entering, 1.0, -1.0)
+        nnx = nx * sgn; nny = ny * sgn; nnz = nz * sgn
+        cos_i = -(wox * nnx + woy * nny + woz * nnz)
+        eta = n1 / n2
+        sin2t = eta * eta * (1.0 - cos_i * cos_i)
+        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2t, 0.0))
+        r_orth = (n1 * cos_i - n2 * cos_t) / (n1 * cos_i + n2 * cos_t)
+        r_par = (n2 * cos_i - n1 * cos_t) / (n2 * cos_i + n1 * cos_t)
+        refl = jnp.where(sin2t > 1.0, 1.0,
+                         0.5 * (r_orth * r_orth + r_par * r_par))
+        do_reflect = u1 < refl
+        wonn = _dot3(wox, woy, woz, nnx, nny, nnz)
+        rfx = wox - 2.0 * wonn * nnx
+        rfy = woy - 2.0 * wonn * nny
+        rfz = woz - 2.0 * wonn * nnz
+        txx = wox * eta - (eta * (-cos_i) + cos_t) * nnx
+        txy = woy * eta - (eta * (-cos_i) + cos_t) * nny
+        txz = woz * eta - (eta * (-cos_i) + cos_t) * nnz
+        txx, txy, txz = _normalize3(txx, txy, txz)
+        wtx = jnp.where(do_reflect, rfx, txx)
+        wty = jnp.where(do_reflect, rfy, txy)
+        wtz = jnp.where(do_reflect, rfz, txz)
+
+        # lane select: wi, f, pdf
+        wix = jnp.where(is_d, wdx, jnp.where(is_s, wsx, wtx))
+        wiy = jnp.where(is_d, wdy, jnp.where(is_s, wsy, wty))
+        wiz = jnp.where(is_d, wdz, jnp.where(is_s, wsz, wtz))
+        fr = jnp.where(is_d, ar * INV_PI, jnp.where(is_s, coef * ar, ar))
+        fg = jnp.where(is_d, ag * INV_PI, jnp.where(is_s, coef * ag, ag))
+        fb = jnp.where(is_d, ab * INV_PI, jnp.where(is_s, coef * ab, ab))
+        pdf = jnp.where(is_d, pdf_d, 1.0)
+        f_black = (fr <= 0.0) & (fg <= 0.0) & (fb <= 0.0)
+        contrib_ok = ~f_black & (pdf > 0.0)
+
+        cos_wi = jnp.abs(_dot3(wix, wiy, wiz, nx, ny, nz))
+        wgt = cos_wi / jnp.maximum(pdf, 1e-20)
+        step_ok = alive & contrib_ok
+        Tr = jnp.where(step_ok, Tr * fr * wgt, Tr)
+        Tg = jnp.where(step_ok, Tg * fg * wgt, Tg)
+        Tb = jnp.where(step_ok, Tb * fb * wgt, Tb)
+
+        # ---- Russian roulette (pathtracer.cu:152-159)
+        if bounce > rr_start:
+            p_cont = jnp.minimum(0.5, jnp.maximum(Tr, jnp.maximum(Tg, Tb)))
+            survive = u3 <= p_cont
+            boost = step_ok & survive & (p_cont > 0.0)
+            inv_p = 1.0 / jnp.maximum(p_cont, 1e-20)
+            Tr = jnp.where(boost, Tr * inv_p, Tr)
+            Tg = jnp.where(boost, Tg * inv_p, Tg)
+            Tb = jnp.where(boost, Tb * inv_p, Tb)
+            alive = step_ok & survive
+        else:
+            alive = step_ok
+        if bounce == max_bounces:
+            alive = jnp.zeros_like(alive)
+
+        n_live = n_live + jnp.sum(alive.astype(jnp.int32))
+
+        if bounce < max_bounces:
+            # ---- next segment
+            (hit, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, mtype,
+             er, eg, eb) = intersect(hx, hy, hz, wix, wiy, wiz)
+            alive = alive & hit
+            wox, woy, woz = wix, wiy, wiz
+
+    lr_ref[:, :] = Lr
+    lg_ref[:, :] = Lg
+    lb_ref[:, :] = Lb
+    nrays_ref[tile, 0] = n_live
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "width", "height", "max_bounces", "rr_start",
+                     "tile_rows"),
+)
+def pallas_render(
+    scene: Scene,
+    cam_packed: Array,  # (16,) f32: frd, px_x, px_y, pos, pad
+    seed: Array,  # (3,) int32 [seed, iteration, salt]
+    *,
+    spp: int,
+    width: int,
+    height: int,
+    max_bounces: int = 10,
+    rr_start: int = 3,
+    tile_rows: int = 16,
+):
+    """Render via the fused kernel. Returns ((H, W, 3) image, rays traced)."""
+    attrs = prim_attrs(scene)
+    n_prims = int(scene.num_prims)
+    # Pack per-prim data: cx cy cz r ax ay az coef mtype ex ey ez
+    prims = jnp.concatenate(
+        [
+            scene.centers[:n_prims],
+            scene.radii[:n_prims, None],
+            attrs.albedo[:n_prims],
+            attrs.coef[:n_prims, None],
+            attrs.mtype[:n_prims, None].astype(jnp.float32),
+            attrs.emission[:n_prims],
+        ],
+        axis=1,
+    )
+
+    n_lanes = height * width * spp
+    tile_lanes = tile_rows * LANES
+    n_tiles = -(-n_lanes // tile_lanes)
+    rows_total = n_tiles * tile_rows
+
+    kernel = functools.partial(
+        _trace_kernel,
+        rows=tile_rows,
+        n_prims=n_prims,
+        spp=spp,
+        width=width,
+        max_bounces=max_bounces,
+        rr_start=rr_start,
+        tmin=EPSILON,
+        n_lanes=n_lanes,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # seed triple
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n_prims, 12), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((16,), lambda i, *_: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0)),
+            pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0)),
+            pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0)),
+            # whole counter array stays resident; each tile writes its slot
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+    )
+    lr, lg, lb, nrays = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+    )(seed, prims, cam_packed)
+
+    lanes_r = lr.reshape(-1)[:n_lanes]
+    lanes_g = lg.reshape(-1)[:n_lanes]
+    lanes_b = lb.reshape(-1)[:n_lanes]
+    img = jnp.stack([lanes_r, lanes_g, lanes_b], axis=-1)
+    img = img.reshape(height, width, spp, 3).mean(axis=2)
+    return img, jnp.sum(nrays)
+
+
+def pack_camera(camera) -> Array:
+    """Pack the camera's ray-gen basis for SMEM (generate_rays semantics)."""
+    return jnp.concatenate(
+        [
+            camera.first_ray_dir,
+            camera.px_x,
+            camera.px_y,
+            camera.pos,
+            jnp.zeros((4,), jnp.float32),
+        ]
+    ).astype(jnp.float32)
