@@ -1,0 +1,207 @@
+"""Command-line interface: render scenes to image files.
+
+Replaces the reference's GLUT window + hard-coded main() (reference
+main.cpp:386-408) with a batch CLI. The progressive accumulation loop is
+the same Run/accumulate cycle (pathtracer.cu:222-247); output goes to
+PNG/HDR files instead of a GL pixel buffer.
+
+Examples:
+  tpupt render --scene cornell --size 640x480 --spp 4 --iterations 16 -o out.png
+  tpupt render --scene scene.json --nee --backend pallas -o out.png
+  tpupt bench
+  tpupt invert --steps 40 -o recovered.png
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _parse_size(s: str) -> tuple[int, int]:
+    w, h = s.lower().split("x")
+    return int(w), int(h)
+
+
+def _load_scene(name: str):
+    from tpu_pathtracer.io.scene_io import load_scene
+    from tpu_pathtracer.models import scene as sc
+
+    if name in sc.BUILTIN_SCENES:
+        return sc.BUILTIN_SCENES[name]()
+    return load_scene(name)
+
+
+def cmd_render(args: argparse.Namespace) -> int:
+    import jax
+    import numpy as np
+
+    from tpu_pathtracer.io.image import save_hdr, save_png
+    from tpu_pathtracer.models import camera as cm
+    from tpu_pathtracer.models.integrator import RenderConfig
+    from tpu_pathtracer.models.progressive import ProgressiveRenderer
+    from tpu_pathtracer.utils.metrics import RenderMeter
+
+    w, h = _parse_size(args.size)
+    scene, cs = _load_scene(args.scene)
+    camera = cm.make_camera(
+        cs["eye"], cs["look_at"], cs["up"], w, h, cs["fov"],
+        lens_radius=cs.get("lens_radius", 0.0),
+        focal_distance=cs.get("focal_distance", 0.0),
+    )
+    config = RenderConfig(spp=args.spp, max_bounces=args.bounces,
+                          use_nee=args.nee)
+
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform == "axon" else "xla"
+
+    meter = RenderMeter(w * h * args.spp)
+    if backend == "pallas":
+        import jax.numpy as jnp
+
+        from tpu_pathtracer.ops.pallas.trace_kernel import (
+            pallas_render, pack_camera,
+        )
+
+        if args.nee:
+            print("note: --nee not yet supported in the pallas backend; "
+                  "using brute-force emitter-hit mode", file=sys.stderr)
+        cp = pack_camera(camera)
+        acc = np.zeros((h, w, 3), np.float64)
+        for it in range(args.iterations):
+            t0 = time.perf_counter()
+            img, nrays = pallas_render(
+                scene, cp, jnp.asarray([args.seed, it, 7], jnp.int32),
+                spp=args.spp, width=w, height=h, max_bounces=args.bounces,
+            )
+            img.block_until_ready()
+            meter.update(time.perf_counter() - t0, int(nrays))
+            acc += np.array(img, np.float64)
+            if not args.quiet:
+                print(f"\r{meter.status(it + 1)}", end="", file=sys.stderr)
+        hdr = (acc / args.iterations).astype(np.float32)
+    else:
+        r = ProgressiveRenderer(scene, camera, config, seed=args.seed)
+        for it in range(args.iterations):
+            t0 = time.perf_counter()
+            r.step()
+            r.state.radiance_sum.block_until_ready()
+            meter.update(time.perf_counter() - t0, None)
+            if not args.quiet:
+                print(f"\r{meter.status(it + 1)}", end="", file=sys.stderr)
+        hdr = np.array(r.image())
+    if not args.quiet:
+        print(file=sys.stderr)
+
+    if args.output:
+        save_png(args.output, hdr, gamma=args.gamma)
+        print(f"wrote {args.output}")
+    if args.hdr_output:
+        save_hdr(args.hdr_output, hdr)
+        print(f"wrote {args.hdr_output}")
+    if not args.output and not args.hdr_output:
+        print(json.dumps({"mean": float(hdr.mean()), "max": float(hdr.max())}))
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def cmd_invert(args: argparse.Namespace) -> int:
+    """Inverse-rendering demo (BASELINE config 5): perturb the Cornell
+    grey-wall albedo + light intensity, recover them by gradient descent."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_pathtracer.diff import inverse
+    from tpu_pathtracer.io.image import save_png
+    from tpu_pathtracer.models import camera as cm, scene as sc
+    from tpu_pathtracer.models.integrator import RenderConfig
+    from tpu_pathtracer.parallel.mesh import make_mesh
+
+    w, h = _parse_size(args.size)
+    scene, cs = sc.cornell_spheres()
+    camera = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], w, h, cs["fov"])
+    config = RenderConfig(spp=args.spp, max_bounces=3)
+    mesh = make_mesh()
+    key = jax.random.key(args.seed)
+
+    target = inverse.render_target(scene, camera, key, config,
+                                   n_iterations=1, base_iteration=0)
+    params0 = dict(inverse.params_of(scene))
+    params0["mat_color"] = scene.mat_color.at[3].set(
+        jnp.asarray([0.3, 0.3, 0.3]))
+    params0["light_intensity"] = scene.light_intensity * 0.5
+
+    optimizer = inverse.make_optimizer(lr=args.lr)
+    state = inverse.init_state(scene, optimizer, params0)
+    step_fn = inverse.make_train_step(scene, camera, config, mesh, optimizer,
+                                      fixed_iteration=0)
+    for i in range(args.steps):
+        state, loss = step_fn(state, target, key)
+        if i % 5 == 0 or i == args.steps - 1:
+            print(f"step {i:4d}  loss {float(loss):.6f}")
+    got = np.array(state.params["mat_color"][3])
+    want = np.array(scene.mat_color[3])
+    print(f"recovered albedo {np.round(got, 3)}  (true {np.round(want, 3)})")
+    gi = np.array(state.params["light_intensity"][0])
+    wi = np.array(scene.light_intensity[0])
+    print(f"recovered intensity {np.round(gi, 2)}  (true {np.round(wi, 2)})")
+    if args.output:
+        final = inverse.apply_params(scene, state.params)
+        from tpu_pathtracer.models.integrator import render_image
+
+        img = np.array(render_image(final, camera, key, config))
+        save_png(args.output, img)
+        print(f"wrote {args.output}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tpupt", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a scene to an image")
+    pr.add_argument("--scene", default="cornell",
+                    help="builtin name (cornell, small, single-sphere, "
+                         "cornell-glass) or a .json scene file")
+    pr.add_argument("--size", default="640x480")
+    pr.add_argument("--spp", type=int, default=4)
+    pr.add_argument("--bounces", type=int, default=10)
+    pr.add_argument("--iterations", type=int, default=8)
+    pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--nee", action="store_true",
+                    help="next-event estimation + MIS (lower variance)")
+    pr.add_argument("--backend", choices=["auto", "xla", "pallas"],
+                    default="auto")
+    pr.add_argument("--gamma", type=float, default=2.2)
+    pr.add_argument("-o", "--output", help="PNG output path")
+    pr.add_argument("--hdr-output", help="linear .npy output path")
+    pr.add_argument("-q", "--quiet", action="store_true")
+    pr.set_defaults(fn=cmd_render)
+
+    pb = sub.add_parser("bench", help="run the standard benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    pi = sub.add_parser("invert", help="inverse-rendering demo (config 5)")
+    pi.add_argument("--size", default="32x32")
+    pi.add_argument("--spp", type=int, default=4)
+    pi.add_argument("--steps", type=int, default=30)
+    pi.add_argument("--lr", type=float, default=5e-2)
+    pi.add_argument("--seed", type=int, default=0)
+    pi.add_argument("-o", "--output", help="render recovered scene to PNG")
+    pi.set_defaults(fn=cmd_invert)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -66,6 +66,14 @@ class Scene:
     num_prims: int = flax.struct.field(pytree_node=False, default=0)
     num_lights: int = flax.struct.field(pytree_node=False, default=0)
 
+    # Triangle mesh + BVH (None = sphere-only scene, the reference's world).
+    # See models/mesh.py; fills primitive.h:26 / scene.h:33 TODOs.
+    mesh: Any = None
+    # Texture atlas (K, TH, TW, 3) and per-material texture index (-1 =
+    # plain color); config-4 textured scenes.
+    textures: Any = None
+    mat_texture: Any = None
+
 
 @flax.struct.dataclass
 class PrimAttrs:
@@ -136,6 +144,9 @@ def make_scene(
     spheres: Sequence[dict],
     materials: Sequence[dict],
     lights: Sequence[dict] = (),
+    mesh: Any = None,
+    textures: Any = None,
+    mat_texture: Sequence[int] | None = None,
 ) -> Scene:
     """Build a padded SoA Scene from declarative python data.
 
@@ -200,6 +211,15 @@ def make_scene(
         else:
             l_prim[i] = l["prim"]
 
+    mat_tex = np.full((M,), -1, np.int32)
+    if mat_texture is not None:
+        for i, t in enumerate(mat_texture):
+            mat_tex[i] = t
+    if textures is not None:
+        textures = jnp.asarray(np.asarray(textures, np.float32))
+        if textures.ndim == 3:
+            textures = textures[None]
+
     return Scene(
         centers=jnp.asarray(centers),
         radii=jnp.asarray(radii),
@@ -216,6 +236,9 @@ def make_scene(
         light_valid=jnp.asarray(l_valid),
         num_prims=n_p,
         num_lights=n_l,
+        mesh=mesh,
+        textures=textures,
+        mat_texture=jnp.asarray(mat_tex),
     )
 
 
@@ -302,9 +325,76 @@ def cornell_glass() -> tuple[Scene, dict]:
     return cornell_spheres()
 
 
+def cornell_boxes() -> tuple[Scene, dict]:
+    """BASELINE config 2 proper: Cornell box with diffuse walls + two
+    boxes — REAL geometry (triangle quads/boxes via the mesh+BVH path),
+    not the reference's giant-sphere approximation (main.cpp:152-161).
+    The light stays a sphere emitter (light.h:40-44 model) so NEE works.
+    """
+    from tpu_pathtracer.models import meshes
+    from tpu_pathtracer.models.mesh import build_bvh
+
+    # Interior 100 x 80 x 160, matching the reference's implied box.
+    white, red, blue = 0, 1, 2
+    walls = [
+        # floor (+y normal)
+        (*meshes.quad([-50, 0, 80], [50, 0, 80], [50, 0, -80], [-50, 0, -80]), white),
+        # ceiling (-y)
+        (*meshes.quad([-50, 80, -80], [50, 80, -80], [50, 80, 80], [-50, 80, 80]), white),
+        # back (+z)
+        (*meshes.quad([50, 0, -80], [50, 80, -80], [-50, 80, -80], [-50, 0, -80]), white),
+        # front (-z), behind the camera
+        (*meshes.quad([-50, 0, 80], [-50, 80, 80], [50, 80, 80], [50, 0, 80]), white),
+        # left x=-50 (+x)
+        (*meshes.quad([-50, 0, -80], [-50, 80, -80], [-50, 80, 80], [-50, 0, 80]), red),
+        # right x=50 (-x)
+        (*meshes.quad([50, 0, 80], [50, 80, 80], [50, 80, -80], [50, 0, -80]), blue),
+        # tall box + short box
+        (*meshes.box([-18, 30, -35], [30, 60, 30], rotation_y=0.3), white),
+        (*meshes.box([20, 14, -5], [28, 28, 28], rotation_y=-0.25), white),
+    ]
+    v, f, uv, m = meshes.merge(*walls)
+    mesh = build_bvh(v, f, uv, m)
+
+    spheres = [sphere([0, 86, -20], 10.0, 3, 0)]  # emitter pokes below ceiling
+    mats = [
+        diffuse([0.75, 0.75, 0.75]),
+        diffuse([0.75, 0.25, 0.25]),
+        diffuse([0.25, 0.25, 0.75]),
+        diffuse([1.0, 1.0, 1.0]),
+    ]
+    lights = [area_light(0, [60.0, 60.0, 60.0])]
+    cam = dict(eye=[0, 45, 79.0], look_at=[0, 35, 0], up=[0, 1, 0], fov=60.0)
+    return make_scene(spheres, mats, lights, mesh=mesh), cam
+
+
+def terrain_textured(n: int = 224) -> tuple[Scene, dict]:
+    """BASELINE config 4: textured triangle-mesh scene (~100k tris at the
+    default n=224) under a sphere sky-light, checker-textured ground."""
+    from tpu_pathtracer.models import meshes
+    from tpu_pathtracer.models.mesh import build_bvh
+
+    v, f, uv = meshes.terrain(n=n, extent=120.0, height=14.0, seed=3)
+    mesh = build_bvh(v, f, uv, 0)
+    tex = meshes.checker_texture(256, tiles=24,
+                                 c0=(0.85, 0.8, 0.7), c1=(0.35, 0.45, 0.25))
+
+    spheres = [sphere([0, 320, 0], 160.0, 1, 0)]  # sky dome emitter
+    mats = [diffuse([1.0, 1.0, 1.0]), diffuse([1.0, 1.0, 1.0])]
+    lights = [area_light(0, [6.0, 6.0, 6.0])]
+    cam = dict(eye=[0, 26, 52], look_at=[0, 6, 0], up=[0, 1, 0], fov=60.0)
+    return (
+        make_scene(spheres, mats, lights, mesh=mesh, textures=tex,
+                   mat_texture=[0, -1]),
+        cam,
+    )
+
+
 BUILTIN_SCENES = {
     "cornell": cornell_spheres,
     "cornell-glass": cornell_glass,
     "small": small_spheres,
     "single-sphere": single_sphere,
+    "cornell-boxes": cornell_boxes,
+    "terrain": terrain_textured,
 }

@@ -100,7 +100,13 @@ def intersect_p(
     if tmax_arr.ndim == 0:
         tmax_arr = jnp.full(o.shape[:-1], tmax_arr)
     t = ray_sphere_t(scene, o, d, tmin=tmin)
-    return jnp.any(t < tmax_arr[:, None], axis=-1)
+    occluded = jnp.any(t < tmax_arr[:, None], axis=-1)
+    if scene.mesh is not None:
+        from tpu_pathtracer.ops.triangle import intersect_mesh
+
+        th = intersect_mesh(scene.mesh, o, d, tmin=tmin, tmax=tmax_arr)
+        occluded = occluded | (th.t < tmax_arr)
+    return occluded
 
 
 def intersect(
@@ -139,7 +145,64 @@ def intersect(
     # Outward normal (p-c)/r (reference primitive.h:74); safe on miss lanes.
     n = (p - center) / jnp.maximum(radius, 1e-12)[:, None]
 
+    if scene.mesh is not None:
+        (t, idx, hit, p, n, center, radius, albedo, coef, mtype,
+         emission) = _merge_mesh_hit(
+            scene, o, d, tmin,
+            t, idx, hit, p, n, center, radius, albedo, coef, mtype, emission,
+        )
+
     return Hit(
         t=t, prim=idx, hit=hit, p=p, n=n, center=center, radius=radius,
         albedo=albedo, coef=coef, mtype=mtype, emission=emission,
     )
+
+
+def _merge_mesh_hit(scene, o, d, tmin,
+                    t, idx, hit, p, n, center, radius,
+                    albedo, coef, mtype, emission):
+    """Fold triangle-mesh hits into the sphere hit record (closest wins).
+
+    Triangle shading attributes come from the material tables via the
+    per-triangle material id; textured materials resolve albedo through the
+    texture atlas (config 4). Triangles carry no emission (area lights stay
+    sphere-backed, like the reference's light model, light.h:40-44).
+    """
+    from tpu_pathtracer.ops.texture import sample_bilinear
+    from tpu_pathtracer.ops.triangle import intersect_mesh
+
+    mesh = scene.mesh
+    th = intersect_mesh(mesh, o, d, tmin=tmin)
+    closer = th.t < t
+
+    tn = jnp.take(mesh.n_geom, th.tri, axis=0)
+    tmat = jnp.take(mesh.material_id, th.tri, axis=0)
+    t_albedo = scene.mat_color[tmat]
+    t_coef = scene.mat_coef[tmat]
+    t_mtype = scene.mat_type[tmat]
+    if scene.textures is not None:
+        uv = (
+            jnp.take(mesh.uv0, th.tri, axis=0)
+            + th.u[:, None] * jnp.take(mesh.uv_e1, th.tri, axis=0)
+            + th.v[:, None] * jnp.take(mesh.uv_e2, th.tri, axis=0)
+        )
+        tex_id = scene.mat_texture[tmat]
+        tex_rgb = sample_bilinear(scene.textures, tex_id, uv)
+        t_albedo = jnp.where((tex_id >= 0)[:, None], tex_rgb, t_albedo)
+
+    cl = closer[:, None]
+    tp = o + d * th.t[:, None]
+    t_out = jnp.where(closer, th.t, t)
+    # mesh prims live in a separate index space; offset past the spheres
+    idx_out = jnp.where(closer, scene.centers.shape[0] + th.tri, idx)
+    hit_out = hit | closer
+    p_out = jnp.where(cl, tp, p)
+    n_out = jnp.where(cl, tn, n)
+    center_out = jnp.where(cl, tp, center)  # degenerate sphere for tri hits
+    radius_out = jnp.where(closer, 0.0, radius)
+    albedo_out = jnp.where(cl, t_albedo, albedo)
+    coef_out = jnp.where(closer, t_coef, coef)
+    mtype_out = jnp.where(closer, t_mtype, mtype)
+    emission_out = jnp.where(cl, 0.0, emission)
+    return (t_out, idx_out, hit_out, p_out, n_out, center_out, radius_out,
+            albedo_out, coef_out, mtype_out, emission_out)
