@@ -52,6 +52,11 @@ class MeshData:
     node_start: Array  # (M,) int32 — first triangle (leaves)
     node_count: Array  # (M,) int32 — triangle count (0 for inner nodes)
 
+    # gather-friendly packed copies: ONE row fetch per traversal step
+    # instead of five separate gathers (ints stored as exact f32 < 2^24)
+    nodes_packed: Array  # (M, 12): min3 max3 skip start count pad3
+    tris_packed: Array  # (T, 12): v0 e1 e2 pad3
+
     num_tris: int = flax.struct.field(pytree_node=False, default=0)
     num_nodes: int = flax.struct.field(pytree_node=False, default=0)
 
@@ -62,8 +67,15 @@ def build_bvh(
     uvs: np.ndarray | None = None,  # (V, 2)
     material_id: np.ndarray | int = 0,
     leaf_size: int = LEAF_SIZE,
+    use_native: bool = True,
 ) -> MeshData:
-    """Build the threaded BVH over a triangle mesh (host-side)."""
+    """Build the threaded BVH over a triangle mesh (host-side).
+
+    Uses the native C++ binned-SAH builder (native/bvh_builder.cpp via
+    tpu_pathtracer.native.bvh) when available — better trees, ~100x faster
+    builds on large meshes — with this NumPy median-split builder as the
+    always-available fallback. Both emit the same threaded-DFS layout.
+    """
     vertices = np.asarray(vertices, np.float64)
     faces = np.asarray(faces, np.int64)
     T = faces.shape[0]
@@ -82,6 +94,20 @@ def build_bvh(
         material_id = np.full((T,), material_id, np.int64)
     else:
         material_id = np.asarray(material_id, np.int64)
+
+    if use_native:
+        from tpu_pathtracer.native import bvh as native_bvh
+
+        built = native_bvh.build_arrays(
+            tri_min.astype(np.float32), tri_max.astype(np.float32),
+            centroid.astype(np.float32), leaf_size,
+        )
+        if built is not None:
+            (perm, nmin, nmax, nskip, nstart, ncount) = built
+            return _finalize(
+                v0, v1, v2, uvs, faces, material_id,
+                perm.astype(np.int64), nmin, nmax, nskip, nstart, ncount,
+            )
 
     order: list[int] = []  # triangle permutation (leaf order)
     # node records: [min, max, start, count, parent-ish]; children patched in
@@ -126,8 +152,19 @@ def build_bvh(
     finally:
         sys.setrecursionlimit(old_limit)
 
-    M = len(nodes_min)
     perm = np.asarray(order, np.int64)
+    return _finalize(
+        v0, v1, v2, uvs, faces, material_id, perm,
+        np.stack(nodes_min), np.stack(nodes_max),
+        np.asarray(nodes_end), np.asarray(nodes_start),
+        np.asarray(nodes_count),
+    )
+
+
+def _finalize(v0, v1, v2, uvs, faces, material_id, perm,
+              node_min, node_max, node_skip, node_start, node_count) -> MeshData:
+    """Reorder triangles into leaf order and pack the MeshData pytree."""
+    T = perm.shape[0]
     v0o, v1o, v2o = v0[perm], v1[perm], v2[perm]
     e1o = v1o - v0o
     e2o = v2o - v0o
@@ -138,6 +175,18 @@ def build_bvh(
     uv1o = uvs[faces[perm, 1]]
     uv2o = uvs[faces[perm, 2]]
 
+    M = int(node_min.shape[0])
+    nodes_packed = np.zeros((M, 12), np.float32)
+    nodes_packed[:, 0:3] = node_min
+    nodes_packed[:, 3:6] = node_max
+    nodes_packed[:, 6] = node_skip
+    nodes_packed[:, 7] = node_start
+    nodes_packed[:, 8] = node_count
+    tris_packed = np.zeros((T, 12), np.float32)
+    tris_packed[:, 0:3] = v0o
+    tris_packed[:, 3:6] = e1o
+    tris_packed[:, 6:9] = e2o
+
     return MeshData(
         v0=jnp.asarray(v0o, jnp.float32),
         e1=jnp.asarray(e1o, jnp.float32),
@@ -147,11 +196,13 @@ def build_bvh(
         uv_e1=jnp.asarray(uv1o - uv0o, jnp.float32),
         uv_e2=jnp.asarray(uv2o - uv0o, jnp.float32),
         material_id=jnp.asarray(material_id[perm], jnp.int32),
-        node_min=jnp.asarray(np.stack(nodes_min), jnp.float32),
-        node_max=jnp.asarray(np.stack(nodes_max), jnp.float32),
-        node_skip=jnp.asarray(nodes_end, jnp.int32),
-        node_start=jnp.asarray(nodes_start, jnp.int32),
-        node_count=jnp.asarray(nodes_count, jnp.int32),
+        node_min=jnp.asarray(node_min, jnp.float32),
+        node_max=jnp.asarray(node_max, jnp.float32),
+        node_skip=jnp.asarray(node_skip, jnp.int32),
+        node_start=jnp.asarray(node_start, jnp.int32),
+        node_count=jnp.asarray(node_count, jnp.int32),
+        nodes_packed=jnp.asarray(nodes_packed),
+        tris_packed=jnp.asarray(tris_packed),
         num_tris=T,
         num_nodes=M,
     )

@@ -104,7 +104,9 @@ def intersect_p(
     if scene.mesh is not None:
         from tpu_pathtracer.ops.triangle import intersect_mesh
 
-        th = intersect_mesh(scene.mesh, o, d, tmin=tmin, tmax=tmax_arr)
+        th = intersect_mesh(
+            scene.mesh, o, d, tmin=tmin, tmax=tmax_arr, any_hit=True
+        )
         occluded = occluded | (th.t < tmax_arr)
     return occluded
 

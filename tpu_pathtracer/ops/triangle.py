@@ -64,8 +64,14 @@ def intersect_mesh(
     d: Array,
     tmin: float,
     tmax: Array | float = BIG,
+    any_hit: bool = False,
 ) -> TriHit:
-    """Closest-hit traversal of the threaded BVH for N rays."""
+    """Traversal of the threaded BVH for N rays.
+
+    any_hit=True is the shadow-ray mode (scene.h:101-108 IntersectP): a
+    lane retires at its FIRST accepted hit instead of the closest, which
+    converges the lockstep while_loop far faster.
+    """
     n = o.shape[0]
     M = mesh.num_nodes
 
@@ -85,11 +91,12 @@ def intersect_mesh(
     def body(state):
         node, t_best, idx, uu, vv = state
         nc = jnp.minimum(node, M - 1)
-        nd_min = jnp.take(mesh.node_min, nc, axis=0)  # (N,3)
-        nd_max = jnp.take(mesh.node_max, nc, axis=0)
-        skip = jnp.take(mesh.node_skip, nc, axis=0)
-        start = jnp.take(mesh.node_start, nc, axis=0)
-        count = jnp.take(mesh.node_count, nc, axis=0)
+        nd = jnp.take(mesh.nodes_packed, nc, axis=0)  # (N,12) one gather
+        nd_min = nd[:, 0:3]
+        nd_max = nd[:, 3:6]
+        skip = nd[:, 6].astype(jnp.int32)
+        start = nd[:, 7].astype(jnp.int32)
+        count = nd[:, 8].astype(jnp.int32)
 
         # slab test against [tmin, t_best] (reference BBox::IntersectP
         # semantics, geometry.h:421-444 — dormant there, load-bearing here)
@@ -104,10 +111,10 @@ def intersect_mesh(
         for j in range(LEAF_SIZE):
             tri = jnp.minimum(start + j, mesh.v0.shape[0] - 1)
             m = test_leaf & (j < count)
-            tv0 = jnp.take(mesh.v0, tri, axis=0)
-            te1 = jnp.take(mesh.e1, tri, axis=0)
-            te2 = jnp.take(mesh.e2, tri, axis=0)
-            valid, t, u_, v_ = moller_trumbore(o, d, tv0, te1, te2, tmin, t_best)
+            td = jnp.take(mesh.tris_packed, tri, axis=0)  # (N,12) one gather
+            valid, t, u_, v_ = moller_trumbore(
+                o, d, td[:, 0:3], td[:, 3:6], td[:, 6:9], tmin, t_best
+            )
             better = m & valid
             t_best = jnp.where(better, t, t_best)
             idx = jnp.where(better, tri, idx)
@@ -118,6 +125,9 @@ def intersect_mesh(
         next_node = jnp.where(
             is_leaf | ~box_hit, skip, node + 1
         )
+        if any_hit:
+            # first accepted hit retires the lane immediately
+            next_node = jnp.where(t_best < t_init, M, next_node)
         node = jnp.where(active, next_node, node)
         return node, t_best, idx, uu, vv
 
