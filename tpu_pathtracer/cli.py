@@ -113,6 +113,26 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_view(args: argparse.Namespace) -> int:
+    from tpu_pathtracer.models import camera as cm
+    from tpu_pathtracer.models.integrator import RenderConfig
+    from tpu_pathtracer.viewer import run_viewer
+
+    w, h = _parse_size(args.size)
+    scene, cs = _load_scene(args.scene)
+    camera = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], w, h, cs["fov"])
+    config = RenderConfig(spp=args.spp, max_bounces=args.bounces,
+                          use_nee=args.nee)
+    frames = run_viewer(
+        scene, camera, config, seed=args.seed,
+        max_frames=args.frames,
+        interactive=sys.stdout.isatty() or args.frames is None,
+        snapshot_path=args.snapshot,
+    )
+    print(f"\nrendered {frames} frames")
+    return 0
+
+
 def cmd_invert(args: argparse.Namespace) -> int:
     """Inverse-rendering demo (BASELINE config 5): perturb the Cornell
     grey-wall albedo + light intensity, recover them by gradient descent."""
@@ -189,6 +209,18 @@ def main(argv: list[str] | None = None) -> int:
 
     pb = sub.add_parser("bench", help="run the standard benchmark")
     pb.set_defaults(fn=cmd_bench)
+
+    pv = sub.add_parser("view", help="interactive terminal viewer")
+    pv.add_argument("--scene", default="cornell")
+    pv.add_argument("--size", default="192x144")
+    pv.add_argument("--spp", type=int, default=2)
+    pv.add_argument("--bounces", type=int, default=6)
+    pv.add_argument("--nee", action="store_true")
+    pv.add_argument("--seed", type=int, default=0)
+    pv.add_argument("--frames", type=int, default=None,
+                    help="stop after N frames (headless smoke mode)")
+    pv.add_argument("--snapshot", default="snapshot.png")
+    pv.set_defaults(fn=cmd_view)
 
     pi = sub.add_parser("invert", help="inverse-rendering demo (config 5)")
     pi.add_argument("--size", default="32x32")
