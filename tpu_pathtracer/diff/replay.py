@@ -1,0 +1,217 @@
+"""Path-replay backprop: O(1)-memory gradients by re-tracing paths.
+
+The north-star differentiation technique (BASELINE.json: "detached-sampling
+/ path-replay backprop"; SURVEY.md §7 stage 6): because every random draw
+is regenerable from (seed, iteration, stream, bounce, lane) — utils/rng.py
+— the backward pass RE-TRACES the exact same paths instead of storing
+per-bounce residuals. Plain autodiff through the bounce scan keeps O(depth
+x lanes) intermediates (bounded only by remat); this custom_vjp's backward
+stores nothing beyond the primal inputs and the per-lane radiance totals.
+
+Math (detached sampling, so sampling decisions are constants):
+
+    L   = sum_b E_b,   E_b = T_b * e_b,   T_b = prod_{k<b} w_k
+    w_k = f_k * cos_k / pdf_k  (+ detached RR boosts)
+
+Every BSDF factor is LINEAR in its material color (diffuse A/pi, mirror
+coef*A, dielectric A — material.h:37-43 / scene.h:188-218), and emission is
+linear in the light intensity, so with suffix_k = sum_{b>k} E_b:
+
+    dL/dA[m]  = sum_k 1[m_k = m] * suffix_k / A[m]      (per channel)
+    dL/dI[l]  = sum_b 1[light_b = l, front] * T_b
+
+The replay walks the identical path maintaining the prefix sum
+(suffix_k = L_total - prefix_k — Vicini et al.'s PRB recurrence) and
+routes per-bounce adjoints to the tables with one-hot MXU contractions
+(no scatters).
+
+Scope: gradients w.r.t. scene.mat_color and scene.light_intensity — the
+inverse-rendering parameters (config 5) — for sphere-primitive hits (mesh
+hits are masked out of the adjoint; extend by routing mesh.material_id the
+same way). Geometry/camera derivatives are not represented in this
+estimator; use the autodiff path (RenderConfig.remat) for those. The
+albedo adjoint divides by the albedo (the standard PRB trick); the
+division is guarded and zero-albedo channels transport zero radiance, so
+their gradients vanish correctly.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array, lax
+
+from tpu_pathtracer.models.integrator import RenderConfig
+from tpu_pathtracer.models.scene import Scene, prim_attrs
+from tpu_pathtracer.ops import bsdf, vecmath as vm
+from tpu_pathtracer.ops.intersect import intersect
+from tpu_pathtracer.utils import rng
+
+
+def _hot(idx: Array, width: int, dtype) -> Array:
+    """(N,) int -> (N, width) one-hot (out-of-range rows are all-zero)."""
+    n = idx.shape[0]
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (n, width), 1) == idx[:, None]
+    ).astype(dtype)
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _walk(scene: Scene, o: Array, d: Array, lane_ids: Array, it_key: Array,
+          config: RenderConfig, adjoint: bool,
+          L_total: Array | None = None, g: Array | None = None):
+    """One pass over the paths. adjoint=False -> per-lane radiance.
+    adjoint=True -> (grad mat_color, grad light_intensity) against g."""
+    attrs = prim_attrs(scene)
+    P = scene.centers.shape[0]
+    M = scene.mat_color.shape[0]
+    NL = scene.light_intensity.shape[0]
+
+    hit0 = intersect(scene, attrs, o, d, tmin=config.tmin)
+    carry0 = (
+        jnp.zeros_like(o),  # L prefix
+        jnp.ones_like(o),  # T
+        hit0.hit,  # alive
+        hit0,
+        d,  # wo
+        jnp.zeros((M, 3)),
+        jnp.zeros((NL, 3)),
+    )
+
+    def body(carry, bounce):
+        L, T, alive, hit, wo, gA, gI = carry
+        u = rng.bounce_uniforms(it_key, bounce, lane_ids)
+
+        one_sided = vm.dot(hit.n, -wo) > 0.0
+        take = (alive & one_sided).astype(T.dtype)[:, None]
+        L = L + T * hit.emission * take
+
+        is_sphere = hit.prim < P  # adjoints route through sphere tables only
+
+        if adjoint:
+            # emission adjoint: T_b routed to the owning light's intensity.
+            lit = take * (
+                (~vm.is_black(hit.emission)) & is_sphere
+            ).astype(T.dtype)[:, None]
+            prim_hot = _hot(hit.prim, P, T.dtype)
+            lid = _mm(prim_hot, scene.light_id.astype(T.dtype)).astype(jnp.int32)
+            light_hot = _hot(lid, NL, T.dtype)
+            gI = gI + _mm(light_hot.T, g * T * lit)
+
+        f_val, wi, pdf = bsdf.sample(
+            hit.mtype, hit.albedo, hit.coef, wo, hit.n, u[:, 0], u[:, 1]
+        )
+        wi = lax.stop_gradient(wi)
+        pdf = lax.stop_gradient(pdf)
+        contrib_ok = ~vm.is_black(f_val) & (pdf > 0.0)
+        cos_wi = jnp.abs(vm.dot(wi, hit.n))
+        weight = f_val * (cos_wi / jnp.maximum(pdf, 1e-20))[:, None]
+        step_ok = alive & contrib_ok
+
+        if adjoint:
+            # albedo adjoint: every lobe's f is linear in the material
+            # color, so d w_k/dA = w_k/A and the factor's adjoint is the
+            # radiance it transports: suffix = L_total - L_prefix.
+            suffix = L_total - L
+            ok = (step_ok & is_sphere).astype(T.dtype)[:, None]
+            contrib_A = g * suffix / jnp.maximum(hit.albedo, 1e-8) * ok
+            mid = _mm(_hot(hit.prim, P, T.dtype),
+                      scene.material_id.astype(T.dtype)).astype(jnp.int32)
+            # mesh lanes (prim >= P) produced all-zero prim_hot -> mid 0,
+            # but `ok` already masked them out.
+            mat_hot = _hot(mid, M, T.dtype)
+            gA = gA + _mm(mat_hot.T, contrib_A)
+
+        T = jnp.where(step_ok[:, None], T * weight, T)
+
+        do_rr = bounce > config.rr_start
+        p_cont = lax.stop_gradient(jnp.minimum(0.5, vm.max_component(T)))
+        survive = u[:, 2] <= p_cont
+        boost = step_ok & do_rr & survive & (p_cont > 0.0)
+        T = jnp.where(boost[:, None], T / jnp.maximum(p_cont, 1e-20)[:, None], T)
+        rr_ok = jnp.logical_or(~do_rr, survive)
+
+        alive = step_ok & rr_ok & (bounce < config.max_bounces)
+        new_hit = intersect(scene, attrs, hit.p, wi, tmin=config.tmin)
+        alive = alive & new_hit.hit
+        return (L, T, alive, new_hit, wi, gA, gI), None
+
+    bounces = jnp.arange(config.max_bounces + 1)
+    (L, _, _, _, _, gA, gI), _ = lax.scan(body, carry0, bounces)
+    if adjoint:
+        return gA, gI
+    return L
+
+
+def _zero_tangent(x):
+    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    if hasattr(x, "shape"):
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return None
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def trace_replay(mat_color: Array, light_intensity: Array, scene: Scene,
+                 o: Array, d: Array, config: RenderConfig,
+                 lane_ids: Array, it_key: Array) -> Array:
+    """Per-lane radiance (N,3), differentiable w.r.t. (mat_color,
+    light_intensity) via path replay. `scene`'s own tables are ignored in
+    favor of the explicit first two args."""
+    s = scene.replace(mat_color=mat_color, light_intensity=light_intensity)
+    return _walk(s, o, d, lane_ids, it_key, config, adjoint=False)
+
+
+def _fwd(mat_color, light_intensity, scene, o, d, config, lane_ids, it_key):
+    s = scene.replace(mat_color=mat_color, light_intensity=light_intensity)
+    L = _walk(s, o, d, lane_ids, it_key, config, adjoint=False)
+    return L, (mat_color, light_intensity, scene, o, d, lane_ids, it_key, L)
+
+
+def _bwd(config, res, g):
+    mat_color, light_intensity, scene, o, d, lane_ids, it_key, L_total = res
+    s = scene.replace(mat_color=mat_color, light_intensity=light_intensity)
+    gA, gI = _walk(s, o, d, lane_ids, it_key, config, adjoint=True,
+                   L_total=L_total, g=g)
+    return (
+        gA,
+        gI,
+        jax.tree.map(_zero_tangent, s),
+        jnp.zeros_like(o),
+        jnp.zeros_like(d),
+        _zero_tangent(lane_ids),
+        _zero_tangent(it_key),
+    )
+
+
+trace_replay.defvjp(_fwd, _bwd)
+
+
+def render_replay(scene: Scene, camera, key: Array, config: RenderConfig,
+                  iteration: Array | int = 0) -> Array:
+    """(H, W, 3) render whose gradients w.r.t. the scene tables flow via
+    path replay (drop-in for integrator.render in inverse rendering)."""
+    from tpu_pathtracer.models import camera as cam_mod
+    from tpu_pathtracer.ops import sampling
+
+    H, W, spp = camera.height, camera.width, config.spp
+    it_key = rng.iteration_key(key, iteration)
+    lane_ids = jnp.arange(H * W * spp, dtype=jnp.int32)
+    s = lane_ids % spp
+    pix = lane_ids // spp
+    px = pix % W
+    py = pix // W
+    u = rng.camera_uniforms(it_key, lane_ids)
+    ox, oy = sampling.stratified_jitter_for_sample(u[:, 0], u[:, 1], s, spp)
+    o, d = cam_mod.generate_rays(camera, px, py, ox, oy)
+    o, d = jax.lax.optimization_barrier((o, d))
+    L = trace_replay(
+        scene.mat_color, scene.light_intensity, scene, o, d, config,
+        lane_ids, it_key,
+    )
+    return L.reshape(H, W, spp, 3).mean(axis=2)
