@@ -6,10 +6,21 @@ reference main.cpp:152-164), 640x480, 4 spp, max 10 bounces, Russian
 roulette after bounce 3.
 
 Metric: rays/sec, counted HONESTLY as the rays a megakernel would trace —
-primary rays + live secondary segments per bounce (dead wavefront lanes
-are excluded from the count even though they burn flops). The baseline
-ratio is against the BASELINE.json north-star target of 5 Grays/s forward
-on one chip.
+primary rays + live secondary segments per bounce (the kernel counts its
+own live lanes; dead wavefront lanes burn flops but are excluded). The
+baseline ratio is against the BASELINE.json north-star target of 5 Grays/s
+forward on one chip.
+
+Measurement protocol (important in this environment — the TPU is behind a
+remote tunnel with ~30-60 ms round-trip latency and terminal-side
+memoization of repeated executions):
+  - K frames run inside ONE jitted lax.scan (fresh seeds each), with a
+    single device->host fetch as the sync point;
+  - elapsed(K) - elapsed(1) cancels the fixed round-trip/dispatch cost, so
+    the metric is pure sustained device throughput — what a progressive
+    renderer achieves when frames pipeline;
+  - seeds are salted per run so terminal memoization can never serve a
+    cached execution.
 
 Prints exactly one JSON line:
   {"metric": "rays/sec", "value": N, "unit": "rays/s", "vs_baseline": N/5e9}
@@ -17,6 +28,7 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -33,41 +45,51 @@ from tpu_pathtracer.ops.pallas.trace_kernel import pallas_render, pack_camera
 TARGET_RAYS_PER_SEC = 5e9  # BASELINE.json north star (1x v5p chip)
 
 WIDTH, HEIGHT, SPP, MAX_BOUNCES = 640, 480, 4, 10
-WARMUP, ITERS = 2, 10
+WARMUP, ITERS = 3, 30
 TILE_ROWS = 32  # best measured tile size on v5e
 
 
 def main() -> None:
+    from functools import partial
+
     scene, cs = sc.cornell_spheres()
     camera = cm.make_camera(
         cs["eye"], cs["look_at"], cs["up"], WIDTH, HEIGHT, cs["fov"]
     )
     cp = pack_camera(camera)
 
-    def frame(it: int):
-        return pallas_render(
-            scene, cp, jnp.asarray([0, it, 7], jnp.int32),
-            spp=SPP, width=WIDTH, height=HEIGHT,
-            max_bounces=MAX_BOUNCES, tile_rows=TILE_ROWS,
+    @partial(jax.jit, static_argnames=("k",))
+    def frames(salt, k):
+        def body(carry, i):
+            acc, rays = carry
+            img, nr = pallas_render(
+                scene, cp, jnp.stack([salt, i, jnp.int32(7)]),
+                spp=SPP, width=WIDTH, height=HEIGHT,
+                max_bounces=MAX_BOUNCES, tile_rows=TILE_ROWS,
+            )
+            return (acc + img.mean(), rays + nr), None
+        init = (jnp.float32(0), jnp.int32(0))
+        (acc, rays), _ = jax.lax.scan(
+            body, init, jnp.arange(k, dtype=jnp.int32)
         )
+        return acc, rays
 
-    # Count rays for the iterations we will time (RR makes it
-    # data-dependent), and warm up the compile.
-    total_rays = 0
-    for it in range(ITERS):
-        _, nrays = frame(it)
-        total_rays += int(nrays)
-    for it in range(WARMUP):
-        img, _ = frame(1000 + it)
-    img.block_until_ready()
+    salt = jnp.int32((os.getpid() ^ time.time_ns()) & 0x0FFFFFFF)
 
-    t0 = time.perf_counter()
-    for it in range(ITERS):
-        img, _ = frame(it)
-    img.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    def timed(k, s):
+        t0 = time.perf_counter()
+        acc, rays = frames(s, k)
+        float(acc)  # device->host fetch is the true sync point here
+        return time.perf_counter() - t0, int(rays)
 
-    rays_per_sec = total_rays / elapsed
+    # compile both variants
+    timed(1, salt + 1)
+    timed(ITERS, salt + 2)
+    # measure: slope between 1 and ITERS frames cancels fixed latency
+    t1, r1 = timed(1, salt + 3)
+    tn, rn = timed(ITERS, salt + 4)
+    elapsed = max(tn - t1, 1e-9)
+    rays_per_sec = (rn - r1) / elapsed
     print(
         json.dumps(
             {
