@@ -11,15 +11,23 @@ force-overrides the `jax_platforms` *config* (which beats the JAX_PLATFORMS
 env var), so we must override the config back — env vars alone silently
 leave the suite running on the tunneled TPU chip.
 """
+import os
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not os.environ.get("TPUPT_TPU_TESTS"):
+    # Default: virtual 8-device CPU mesh. Set TPUPT_TPU_TESTS=1 to run the
+    # suite against the real TPU backend (enables tests/test_pallas_kernel).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
+# The device-count assertion below only applies to the CPU-mesh mode.
+_expect_cpu_mesh = not os.environ.get("TPUPT_TPU_TESTS")
 # Persistent compile cache: XLA:CPU compiles of the bounce scan dominate the
 # suite's wall clock; cache them across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/tpupt_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu"
+if _expect_cpu_mesh:
+    assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu"

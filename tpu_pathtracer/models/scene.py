@@ -65,6 +65,12 @@ class Scene:
 
     num_prims: int = flax.struct.field(pytree_node=False, default=0)
     num_lights: int = flax.struct.field(pytree_node=False, default=0)
+    # Static scene STRUCTURE (which prims emit / which BSDF type each prim
+    # has) — value-free metadata that lets kernels specialize their
+    # unrolled loops per scene (e.g. emission gathers only over emissive
+    # prims, dielectric math skipped in glass-free scenes).
+    emissive_prims: tuple = flax.struct.field(pytree_node=False, default=())
+    prim_mtypes: tuple = flax.struct.field(pytree_node=False, default=())
 
     # Triangle mesh + BVH (None = sphere-only scene, the reference's world).
     # See models/mesh.py; fills primitive.h:26 / scene.h:33 TODOs.
@@ -236,6 +242,12 @@ def make_scene(
         light_valid=jnp.asarray(l_valid),
         num_prims=n_p,
         num_lights=n_l,
+        emissive_prims=tuple(
+            i for i, s in enumerate(spheres) if s.get("light", -1) >= 0
+        ),
+        prim_mtypes=tuple(
+            int(materials[s["material"]]["type"]) for s in spheres
+        ),
         mesh=mesh,
         textures=textures,
         mat_texture=jnp.asarray(mat_tex),

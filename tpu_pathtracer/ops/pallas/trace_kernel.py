@@ -107,6 +107,9 @@ def _trace_kernel(
     *,
     rows: int,
     n_prims: int,
+    emissive: tuple,
+    spec_prims: tuple,
+    trans_prims: tuple,
     spp: int,
     width: int,
     max_bounces: int,
@@ -130,9 +133,15 @@ def _trace_kernel(
     py = (pix // width).astype(jnp.float32)
 
     # ---- camera ray generation (camera.h:66-72 semantics)
+    # One PRNG seed per (frame, tile); all draws stream sequentially from
+    # it (camera jitter first, then 3 per bounce). Deterministic per
+    # (seed, iteration, tile) and identically replayable — per-bounce
+    # addressability is unnecessary inside a fused kernel that always
+    # replays the whole path.
     _seed_streams(seed_ref[0], seed_ref[1], tile, seed_ref[2], jnp.int32(0))
-    u_cam = _rand(shape)
-    v_cam = _rand(shape)
+    uv_cam = _rand((2 * rows, LANES))
+    u_cam = uv_cam[:rows]
+    v_cam = uv_cam[rows:]
     k = int(round(spp ** 0.5))
     if k * k == spp and k > 1:
         cx = (s % k).astype(jnp.float32)
@@ -165,27 +174,24 @@ def _trace_kernel(
             det = b * b - _dot3(opx, opy, opz, opx, opy, opz) + r * r
             sq = jnp.sqrt(jnp.maximum(det, 0.0))
             t0 = b - sq
-            t1 = b + sq
-            # reference primitive.h:44 root selection (shrinking tmax scan)
-            t = jnp.where(
-                t0 > tmin,
-                jnp.where(t0 < best_t, t0, BIG),
-                jnp.where((t1 > tmin) & (t1 < best_t), t1, BIG),
-            )
-            t = jnp.where(det < 0.0, BIG, t)
-            closer = t < best_t
+            # reference primitive.h:44 root selection, algebraically
+            # reduced: pick t0 if t0>tmin else t1; then one validity test
+            # (t0>tmin but t0>=tmax misses WITHOUT falling through to t1,
+            # exactly like the reference)
+            t = jnp.where(t0 > tmin, t0, b + sq)
+            closer = (det >= 0.0) & (t > tmin) & (t < best_t)
             best_t = jnp.where(closer, t, best_t)
             best_p = jnp.where(closer, p, best_p)
         hit = best_t < (0.5 * BIG)
         hx = ox + dx * best_t
         hy = oy + dy * best_t
         hz = oz + dz * best_t
-        # gather per-prim attrs by unrolled select
+        # gather per-prim attrs by unrolled select; kernel is specialized
+        # on the scene STRUCTURE (static emissive/specular/transmissive
+        # prim sets), so emission/coef selects only touch the prims that
+        # need them and material type becomes precomputed lane masks.
         nx = fzeros; ny = fzeros; nz = fzeros
         ar = fzeros; ag = fzeros; ab = fzeros
-        er = fzeros; eg = fzeros; eb = fzeros
-        coef = fzeros
-        mtype = jnp.zeros(shape, jnp.int32)
         for p in range(n_prims):
             is_p = best_p == p
             nx = jnp.where(is_p, (hx - prims_ref[p, 0]) / prims_ref[p, 3], nx)
@@ -194,16 +200,26 @@ def _trace_kernel(
             ar = jnp.where(is_p, prims_ref[p, 4], ar)
             ag = jnp.where(is_p, prims_ref[p, 5], ag)
             ab = jnp.where(is_p, prims_ref[p, 6], ab)
-            coef = jnp.where(is_p, prims_ref[p, 7], coef)
-            mtype = jnp.where(is_p, prims_ref[p, 8].astype(jnp.int32), mtype)
+        coef = fzeros
+        for p in (*spec_prims, *trans_prims):
+            coef = jnp.where(best_p == p, prims_ref[p, 7], coef)
+        er = fzeros; eg = fzeros; eb = fzeros
+        for p in emissive:
+            is_p = best_p == p
             er = jnp.where(is_p, prims_ref[p, 9], er)
             eg = jnp.where(is_p, prims_ref[p, 10], eg)
             eb = jnp.where(is_p, prims_ref[p, 11], eb)
-        return (hit, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, mtype,
+        is_s = jnp.zeros(shape, jnp.bool_)
+        for p in spec_prims:
+            is_s = is_s | (best_p == p)
+        is_t = jnp.zeros(shape, jnp.bool_)
+        for p in trans_prims:
+            is_t = is_t | (best_p == p)
+        return (hit, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, is_s, is_t,
                 er, eg, eb)
 
     h0 = intersect(ox, oy, oz, dx, dy, dz)
-    (hit, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, mtype, er, eg, eb) = h0
+    (hit, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, is_s, is_t, er, eg, eb) = h0
 
     Lr = fzeros; Lg = fzeros; Lb = fzeros
     Tr = fzeros + 1.0; Tg = fzeros + 1.0; Tb = fzeros + 1.0
@@ -212,12 +228,11 @@ def _trace_kernel(
     n_live = jnp.sum((lane < n_lanes).astype(jnp.int32))  # primary rays
 
     for bounce in range(max_bounces + 1):
-        # ---- per-bounce uniforms (bsdf u, v, rr)
-        _seed_streams(seed_ref[0], seed_ref[1], tile, seed_ref[2],
-                      jnp.int32(bounce + 1))
-        u1 = _rand(shape)
-        u2 = _rand(shape)
-        u3 = _rand(shape)
+        # ---- per-bounce uniforms (bsdf u, v, rr) — one batched draw
+        ub = _rand((3 * rows, LANES))
+        u1 = ub[:rows]
+        u2 = ub[rows:2 * rows]
+        u3 = ub[2 * rows:]
 
         # ---- emitter-hit accumulation (pathtracer.cu:134-137)
         one_sided = _dot3(nx, ny, nz, -wox, -woy, -woz) > 0.0
@@ -227,8 +242,7 @@ def _trace_kernel(
         Lb = Lb + Tb * eb * take
 
         # ---- BSDF sampling (scene.h:177-221, masked lanes)
-        is_d = mtype == DIFFUSE
-        is_s = mtype == SPECULAR
+        is_d = ~(is_s | is_t) if (spec_prims or trans_prims) else None
 
         # diffuse: concentric disk -> cosine hemisphere in the n frame
         sx_ = 2.0 * u1 - 1.0
@@ -267,48 +281,63 @@ def _trace_kernel(
             jnp.abs(cos_d) * INV_PI, 0.0,
         )
 
-        # specular mirror
+        # specular mirror (only compiled into scenes that have one)
         won = _dot3(wox, woy, woz, nx, ny, nz)
-        wsx = wox - 2.0 * won * nx
-        wsy = woy - 2.0 * won * ny
-        wsz = woz - 2.0 * won * nz
+        if spec_prims:
+            wsx = wox - 2.0 * won * nx
+            wsy = woy - 2.0 * won * ny
+            wsz = woz - 2.0 * won * nz
 
-        # dielectric (scene.h:194-218 + globals.h:111-126)
-        entering = won < 0.0
-        ior = jnp.maximum(coef, 1.0)
-        n1 = jnp.where(entering, 1.0, ior)
-        n2 = jnp.where(entering, ior, 1.0)
-        sgn = jnp.where(entering, 1.0, -1.0)
-        nnx = nx * sgn; nny = ny * sgn; nnz = nz * sgn
-        cos_i = -(wox * nnx + woy * nny + woz * nnz)
-        eta = n1 / n2
-        sin2t = eta * eta * (1.0 - cos_i * cos_i)
-        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2t, 0.0))
-        r_orth = (n1 * cos_i - n2 * cos_t) / (n1 * cos_i + n2 * cos_t)
-        r_par = (n2 * cos_i - n1 * cos_t) / (n2 * cos_i + n1 * cos_t)
-        refl = jnp.where(sin2t > 1.0, 1.0,
-                         0.5 * (r_orth * r_orth + r_par * r_par))
-        do_reflect = u1 < refl
-        wonn = _dot3(wox, woy, woz, nnx, nny, nnz)
-        rfx = wox - 2.0 * wonn * nnx
-        rfy = woy - 2.0 * wonn * nny
-        rfz = woz - 2.0 * wonn * nnz
-        txx = wox * eta - (eta * (-cos_i) + cos_t) * nnx
-        txy = woy * eta - (eta * (-cos_i) + cos_t) * nny
-        txz = woz * eta - (eta * (-cos_i) + cos_t) * nnz
-        txx, txy, txz = _normalize3(txx, txy, txz)
-        wtx = jnp.where(do_reflect, rfx, txx)
-        wty = jnp.where(do_reflect, rfy, txy)
-        wtz = jnp.where(do_reflect, rfz, txz)
+        # dielectric (scene.h:194-218 + globals.h:111-126), compiled only
+        # into scenes that contain a transmissive prim
+        if trans_prims:
+            entering = won < 0.0
+            ior = jnp.maximum(coef, 1.0)
+            n1 = jnp.where(entering, 1.0, ior)
+            n2 = jnp.where(entering, ior, 1.0)
+            sgn = jnp.where(entering, 1.0, -1.0)
+            nnx = nx * sgn; nny = ny * sgn; nnz = nz * sgn
+            cos_i = -(wox * nnx + woy * nny + woz * nnz)
+            eta = n1 / n2
+            sin2t = eta * eta * (1.0 - cos_i * cos_i)
+            cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2t, 0.0))
+            r_orth = (n1 * cos_i - n2 * cos_t) / (n1 * cos_i + n2 * cos_t)
+            r_par = (n2 * cos_i - n1 * cos_t) / (n2 * cos_i + n1 * cos_t)
+            refl = jnp.where(sin2t > 1.0, 1.0,
+                             0.5 * (r_orth * r_orth + r_par * r_par))
+            do_reflect = u1 < refl
+            wonn = _dot3(wox, woy, woz, nnx, nny, nnz)
+            rfx = wox - 2.0 * wonn * nnx
+            rfy = woy - 2.0 * wonn * nny
+            rfz = woz - 2.0 * wonn * nnz
+            txx = wox * eta - (eta * (-cos_i) + cos_t) * nnx
+            txy = woy * eta - (eta * (-cos_i) + cos_t) * nny
+            txz = woz * eta - (eta * (-cos_i) + cos_t) * nnz
+            txx, txy, txz = _normalize3(txx, txy, txz)
+            wtx = jnp.where(do_reflect, rfx, txx)
+            wty = jnp.where(do_reflect, rfy, txy)
+            wtz = jnp.where(do_reflect, rfz, txz)
 
-        # lane select: wi, f, pdf
-        wix = jnp.where(is_d, wdx, jnp.where(is_s, wsx, wtx))
-        wiy = jnp.where(is_d, wdy, jnp.where(is_s, wsy, wty))
-        wiz = jnp.where(is_d, wdz, jnp.where(is_s, wsz, wtz))
-        fr = jnp.where(is_d, ar * INV_PI, jnp.where(is_s, coef * ar, ar))
-        fg = jnp.where(is_d, ag * INV_PI, jnp.where(is_s, coef * ag, ag))
-        fb = jnp.where(is_d, ab * INV_PI, jnp.where(is_s, coef * ab, ab))
-        pdf = jnp.where(is_d, pdf_d, 1.0)
+        # lane select: wi, f, pdf — only the lobes this scene contains
+        wix, wiy, wiz = wdx, wdy, wdz
+        fr, fg, fb = ar * INV_PI, ag * INV_PI, ab * INV_PI
+        pdf = pdf_d
+        if spec_prims:
+            wix = jnp.where(is_s, wsx, wix)
+            wiy = jnp.where(is_s, wsy, wiy)
+            wiz = jnp.where(is_s, wsz, wiz)
+            fr = jnp.where(is_s, coef * ar, fr)
+            fg = jnp.where(is_s, coef * ag, fg)
+            fb = jnp.where(is_s, coef * ab, fb)
+        if trans_prims:
+            wix = jnp.where(is_t, wtx, wix)
+            wiy = jnp.where(is_t, wty, wiy)
+            wiz = jnp.where(is_t, wtz, wiz)
+            fr = jnp.where(is_t, ar, fr)
+            fg = jnp.where(is_t, ag, fg)
+            fb = jnp.where(is_t, ab, fb)
+        if spec_prims or trans_prims:
+            pdf = jnp.where(is_d, pdf_d, 1.0)
         f_black = (fr <= 0.0) & (fg <= 0.0) & (fb <= 0.0)
         contrib_ok = ~f_black & (pdf > 0.0)
 
@@ -338,7 +367,7 @@ def _trace_kernel(
 
         if bounce < max_bounces:
             # ---- next segment
-            (hit, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, mtype,
+            (hit, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, is_s, is_t,
              er, eg, eb) = intersect(hx, hy, hz, wix, wiy, wiz)
             alive = alive & hit
             wox, woy, woz = wix, wiy, wiz
@@ -387,10 +416,19 @@ def pallas_render(
     n_tiles = -(-n_lanes // tile_lanes)
     rows_total = n_tiles * tile_rows
 
+    spec_prims = tuple(
+        i for i, t in enumerate(scene.prim_mtypes) if t == SPECULAR
+    )
+    trans_prims = tuple(
+        i for i, t in enumerate(scene.prim_mtypes) if t == TRANSMISSIVE
+    )
     kernel = functools.partial(
         _trace_kernel,
         rows=tile_rows,
         n_prims=n_prims,
+        emissive=tuple(scene.emissive_prims),
+        spec_prims=spec_prims,
+        trans_prims=trans_prims,
         spp=spp,
         width=width,
         max_bounces=max_bounces,
