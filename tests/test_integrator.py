@@ -171,3 +171,33 @@ def test_progressive_accumulation_converges_means():
     state = prog.reset(state)
     assert int(state.iteration) == 0
     assert float(np.abs(np.array(state.radiance_sum)).max()) == 0.0
+
+
+def test_golden_cornell_nee():
+    """Regression snapshot of the Cornell scene with NEE (config 2/3 class)."""
+    scene, cs = sc.cornell_spheres()
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 64, 48, cs["fov"])
+    cfg = RenderConfig(spp=4, max_bounces=6, use_nee=True)
+    img = np.array(render_image(scene, cam, jax.random.key(123), cfg))
+    path = os.path.join(GOLDEN_DIR, "cornell_nee_64_4spp.npy")
+    if not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.save(path, img)
+        pytest.skip("golden image generated; rerun to compare")
+    want = np.load(path)
+    np.testing.assert_allclose(img, want, rtol=1e-4, atol=1e-5)
+
+
+def test_golden_cornell_boxes():
+    """Regression snapshot of the triangle-mesh Cornell box (config 2)."""
+    scene, cs = sc.cornell_boxes()
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 48, 36, cs["fov"])
+    cfg = RenderConfig(spp=2, max_bounces=4, use_nee=True)
+    img = np.array(render_image(scene, cam, jax.random.key(5), cfg))
+    path = os.path.join(GOLDEN_DIR, "cornell_boxes_48_2spp.npy")
+    if not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.save(path, img)
+        pytest.skip("golden image generated; rerun to compare")
+    want = np.load(path)
+    np.testing.assert_allclose(img, want, rtol=1e-4, atol=1e-5)

@@ -84,3 +84,20 @@ def test_cli_render_json_scene(tmp_path):
     rc = main(["render", "--scene", p, "--size", "16x16", "--iterations", "1",
                "--backend", "xla", "-o", out, "-q"])
     assert rc == 0 and os.path.exists(out)
+
+
+def test_cost_report_and_trace(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.utils.profiling import cost_report, trace
+
+    def f(x):
+        return (x @ x).sum()
+
+    rep = cost_report(f, jnp.ones((64, 64)))
+    assert rep.get("flops", 0) > 0
+    with trace(str(tmp_path / "tr")) as d:
+        jax.block_until_ready(jax.jit(f)(jnp.ones((32, 32))))
+    import os
+    assert any(os.scandir(d))  # trace files were written

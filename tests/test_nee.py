@@ -119,3 +119,51 @@ def test_mis_weights_sum_to_one():
     w1 = power_heuristic(1.0, pf, 1.0, pg)
     w2 = power_heuristic(1.0, pg, 1.0, pf)
     np.testing.assert_allclose(np.array(w1 + w2), np.ones(3), rtol=1e-6)
+
+
+def test_distribution_1d():
+    import jax.numpy as jnp
+    from tpu_pathtracer.ops.sampling import (
+        make_distribution_1d, sample_distribution_1d,
+    )
+    w = jnp.asarray([1.0, 3.0, 0.0, 4.0])
+    cdf, pdf = make_distribution_1d(w)
+    np.testing.assert_allclose(np.array(pdf), [0.125, 0.375, 0.0, 0.5], rtol=1e-6)
+    np.testing.assert_allclose(float(cdf[-1]), 1.0, rtol=1e-6)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random(20000, np.float32))
+    idx, p = sample_distribution_1d(cdf, pdf, u)
+    counts = np.bincount(np.array(idx), minlength=4) / 20000
+    np.testing.assert_allclose(counts, np.array(pdf), atol=0.01)
+    assert counts[2] == 0.0  # zero-weight bucket never sampled
+    np.testing.assert_allclose(np.array(p), np.array(pdf)[np.array(idx)])
+    # all-zero weights -> uniform fallback (reference funcInt==0 branch)
+    _, pdf0 = make_distribution_1d(jnp.zeros(4))
+    np.testing.assert_allclose(np.array(pdf0), 0.25)
+
+
+def test_power_weighted_two_lights_unbiased():
+    """Two area lights with very different power: the power-weighted
+    selector must sample them ~proportionally AND keep the estimator
+    unbiased (same mean as brute force)."""
+    spheres = [
+        sc.sphere([0, -1e4, 0], 1e4, 0),          # floor
+        sc.sphere([-4, 6, 0], 1.5, 0, 0),         # bright light
+        sc.sphere([4, 6, 0], 1.5, 0, 1),          # dim light
+    ]
+    mats = [sc.diffuse([0.7, 0.7, 0.7])]
+    lgts = [sc.area_light(1, [50, 50, 50]), sc.area_light(2, [2, 2, 2])]
+    scene = sc.make_scene(spheres, mats, lgts)
+    cam = cm.make_camera([0, 6, 14], [0, 1, 0], [0, 1, 0], 24, 18, 60.0)
+    bf = avg_render(scene, cam, RenderConfig(spp=8, max_bounces=4), 24)
+    ne = avg_render(scene, cam, RenderConfig(spp=8, max_bounces=4, use_nee=True), 24)
+    ratio = ne.mean() / bf.mean()
+    assert abs(ratio - 1.0) < 0.05, ratio
+    # selection distribution really is power-weighted
+    from tpu_pathtracer.ops import lights as lt
+    import jax.numpy as jnp
+    u = jnp.asarray(np.random.default_rng(1).random((4000, 3), np.float32))
+    p = jnp.tile(jnp.asarray([[0.0, 0.5, 3.0]]), (4000, 1))
+    ls = lt.sample_lights(scene, p, u)
+    to_bright = np.array(ls.wi)[:, 0] < 0
+    assert 0.9 < to_bright.mean() < 1.0  # ~25/26 of samples go to the bright one

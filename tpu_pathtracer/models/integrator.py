@@ -107,7 +107,8 @@ def trace(
             # montecarlo.h:156-159 — dead in the reference, live here).
             is_light = ~vm.is_black(hit.emission)
             lp = lights.light_dir_pdf(
-                scene, prev_o, wo, hit.center, hit.radius, is_light
+                scene, prev_o, wo, hit.center, hit.radius, is_light,
+                hit_prim=hit.prim,
             )
             w_emit = jnp.where(
                 prev_delta, 1.0, sampling.power_heuristic(1.0, prev_pdf, 1.0, lp)

@@ -56,13 +56,28 @@ def sample_lights(
     p: (N,3) shading points; u: (N,3) uniforms (area u, area v, select).
     Mirrors reference scene.h:150-170 with the corrections noted above.
     """
-    n_lights = max(scene.num_lights, 1)
     L = scene.light_type.shape[0]
     n = p.shape[0]
 
-    # --- uniform light selection (generalizes the reference's single
-    # hard-coded light, main.cpp:164) --------------------------------------
-    li = jnp.minimum((u[:, 2] * n_lights).astype(jnp.int32), n_lights - 1)
+    # --- power-proportional light selection --------------------------------
+    # Live use of the reference's dead Distribution1D (montecarlo.h:28-74):
+    # lights are chosen with probability proportional to emitted power
+    # (luminance x surface area for area lights), detached from autodiff
+    # (a sampling decision, like the BSDF draws).
+    P0 = scene.centers.shape[0]
+    lp_hot = (
+        jax.lax.broadcasted_iota(jnp.int32, (L, P0), 1)
+        == scene.light_prim[:, None]
+    ).astype(p.dtype)
+    l_radius = _mm(lp_hot, scene.radii)  # (L,)
+    lum = vm.luminance(scene.light_intensity)
+    area_w = 4.0 * jnp.pi * l_radius * l_radius
+    power = lum * jnp.where(scene.light_type == AREA_LIGHT, area_w, 1.0)
+    power = power * scene.light_valid
+    cdf, sel_pdfs = sampling.make_distribution_1d(
+        jax.lax.stop_gradient(power)
+    )
+    li, sel_pdf = sampling.sample_distribution_1d(cdf, sel_pdfs, u[:, 2])
     one_hot = (
         jax.lax.broadcasted_iota(jnp.int32, (n, L), 1) == li[:, None]
     ).astype(p.dtype)
@@ -79,8 +94,6 @@ def sample_lights(
     ).astype(p.dtype)
     c = _mm(prim_hot, scene.centers)  # (N,3)
     r = _mm(prim_hot, scene.radii)  # (N,)
-
-    sel_pdf = 1.0 / n_lights
 
     # --- point-light branch (scene.h:153-158) ------------------------------
     to_l = l_pos - p
@@ -141,8 +154,8 @@ def sample_lights(
     is_area = l_type == AREA_LIGHT
     radiance = jnp.where(is_point[:, None], rad_point, rad_area)
     wi = jnp.where(is_point[:, None], wi_point, wi_area)
-    # pdf includes the selection probability: the estimator divides by
-    # (pdf_dir * sel_pdf), i.e. contributions scale by n_lights.
+    # pdf includes the (power-proportional) selection probability: the
+    # estimator divides by pdf_dir * P(select this light).
     pdf = jnp.where(is_point, 1.0, pdf_area) * sel_pdf
     dist = jnp.where(is_point, dist_point, dist_area)
     valid = l_valid & (is_point | is_area) & (pdf > 0.0)
@@ -159,13 +172,13 @@ def light_dir_pdf(
     hit_center: Array,
     hit_radius: Array,
     hit_is_light: Array,
+    hit_prim: Array | None = None,
 ) -> Array:
     """pdf (solid angle, incl. selection) of sampling direction wi from p
     via `sample_lights`, given that wi hits the light sphere described by
     (hit_center, hit_radius). The MIS counterweight for emitter hits
     (scene.h:110-130 `Pdf`).
     """
-    n_lights = max(scene.num_lights, 1)
     d2 = vm.distance_sq(p, hit_center)
     sin2_tmax = jnp.clip(
         hit_radius * hit_radius / jnp.maximum(d2, 1e-12), 0.0, 1.0
@@ -177,5 +190,33 @@ def light_dir_pdf(
     # approximate with the cone limit (cos_tmax -> 0 => uniform sphere pdf),
     # matching the reference's intent for this rare case.
     pdf = jnp.where(inside, 1.0 / (4.0 * jnp.pi), pdf)
-    pdf = pdf * (1.0 / n_lights)
+    pdf = pdf * selection_pdf_for_prim(scene, hit_prim, p.dtype)
     return jnp.where(hit_is_light, pdf, 0.0)
+
+
+def selection_pdf_for_prim(scene: Scene, hit_prim: Array | None, dtype) -> Array:
+    """P(sample_lights picks the light owning prim `hit_prim`) — must match
+    the power-proportional table built in sample_lights for MIS to be
+    consistent."""
+    L = scene.light_type.shape[0]
+    P0 = scene.centers.shape[0]
+    lp_hot = (
+        jax.lax.broadcasted_iota(jnp.int32, (L, P0), 1)
+        == scene.light_prim[:, None]
+    ).astype(dtype)
+    l_radius = _mm(lp_hot, scene.radii)
+    lum = vm.luminance(scene.light_intensity)
+    area_w = 4.0 * jnp.pi * l_radius * l_radius
+    power = lum * jnp.where(scene.light_type == AREA_LIGHT, area_w, 1.0)
+    power = power * scene.light_valid
+    _, sel_pdfs = sampling.make_distribution_1d(jax.lax.stop_gradient(power))
+    if hit_prim is None:
+        return jnp.asarray(1.0, dtype)
+    n = hit_prim.shape[0]
+    # prim -> owning light id (from the scene's light table)
+    prim_hot = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, P0), 1) == hit_prim[:, None]
+    ).astype(dtype)
+    lid = _mm(prim_hot, scene.light_id.astype(dtype)).astype(jnp.int32)
+    lid = jnp.clip(lid, 0, L - 1)
+    return jnp.take(sel_pdfs, lid)

@@ -99,6 +99,39 @@ def uniform_cone_pdf(cos_theta_max: Array) -> Array:
     return 1.0 / (2.0 * PI * jnp.maximum(1.0 - cos_theta_max, 1e-12))
 
 
+def make_distribution_1d(weights: Array) -> tuple[Array, Array]:
+    """Build a 1D sampling distribution from nonnegative weights.
+
+    Live implementation of the reference's fully-commented-out pbrt
+    `Distribution1D` (montecarlo.h:28-74): returns (cdf, pdf) with
+    cdf[0]=0, cdf[n]=1. All-zero weights degrade to uniform, like the
+    reference's funcInt==0 branch.
+    """
+    w = jnp.maximum(weights, 0.0)
+    total = jnp.sum(w)
+    n = w.shape[0]
+    uniform = jnp.full((n,), 1.0 / n)
+    pdf = jnp.where(total > 0.0, w / jnp.where(total > 0.0, total, 1.0), uniform)
+    cdf = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(pdf)])
+    return cdf, pdf
+
+
+def sample_distribution_1d(cdf: Array, pdf: Array, u: Array) -> tuple[Array, Array]:
+    """Sample indices from a make_distribution_1d table.
+
+    u: (...,) uniforms. Returns (index, pdf[index]) — the reference's
+    SampleDiscrete (montecarlo.h:59-64), vectorized (the lower_bound
+    becomes a comparison count, branch-free lane math).
+    """
+    n = pdf.shape[0]
+    # index = #{ k : cdf[k+1] <= u }  == lower_bound(cdf, u) - 1, clamped
+    idx = jnp.sum(
+        (cdf[1:][None, :] <= u[..., None]).astype(jnp.int32), axis=-1
+    )
+    idx = jnp.clip(idx, 0, n - 1)
+    return idx, jnp.take(pdf, idx)
+
+
 def power_heuristic(nf: Array, f_pdf: Array, ng: Array, g_pdf: Array) -> Array:
     """Beta=2 power heuristic for MIS (reference montecarlo.h:156-159)."""
     f = nf * f_pdf
