@@ -71,3 +71,35 @@ def test_tile_size_invariance():
             acc += float(jnp.mean(img))
         means.append(acc / 10)
     assert abs(means[0] / means[1] - 1.0) < 0.05
+
+
+def test_nee_kernel_matches_xla_nee():
+    """In-kernel NEE+MIS agrees with the XLA NEE integrator (MC tolerance)."""
+    for name in ("single-sphere", "small"):
+        scene, cs = sc.BUILTIN_SCENES[name]()
+        cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 48, 36, cs["fov"])
+        acc_p = acc_x = 0.0
+        for it in range(10):
+            ip, _ = pallas_render(
+                scene, pack_camera(cam), jnp.asarray([91, it, 7], jnp.int32),
+                spp=4, width=48, height=36, max_bounces=5, use_nee=True,
+            )
+            acc_p += float(jnp.mean(ip))
+            acc_x += float(jnp.mean(render_image(
+                scene, cam, jax.random.key(91),
+                RenderConfig(spp=4, max_bounces=5, use_nee=True), iteration=it)))
+        assert abs(acc_p / acc_x - 1.0) < 0.04, (name, acc_p / acc_x)
+
+
+def test_nee_kernel_point_light():
+    scene = sc.make_scene(
+        [sc.sphere([0, -1e4 - 1, 0], 1e4, 0)],
+        [sc.diffuse([0.7, 0.7, 0.7])],
+        [sc.point_light([0, 3, 0], [40.0, 40.0, 40.0])],
+    )
+    cam = cm.make_camera([0, 2, 8], [0, 0, 0], [0, 1, 0], 32, 32, 60.0)
+    img, _ = pallas_render(
+        scene, pack_camera(cam), jnp.asarray([17, 0, 7], jnp.int32),
+        spp=4, width=32, height=32, max_bounces=3, use_nee=True,
+    )
+    assert float(jnp.max(img)) > 0.1  # point light visible via NEE

@@ -65,9 +65,11 @@ def cmd_render(args: argparse.Namespace) -> int:
             pallas_render, pack_camera,
         )
 
-        if args.nee:
-            print("note: --nee not yet supported in the pallas backend; "
-                  "using brute-force emitter-hit mode", file=sys.stderr)
+        if scene.mesh is not None:
+            print("note: the pallas backend traces sphere scenes; "
+                  "falling back to the XLA path for meshes", file=sys.stderr)
+            args.backend = "xla"
+            return cmd_render(args)
         cp = pack_camera(camera)
         acc = np.zeros((h, w, 3), np.float64)
         for it in range(args.iterations):
@@ -75,6 +77,7 @@ def cmd_render(args: argparse.Namespace) -> int:
             img, nrays = pallas_render(
                 scene, cp, jnp.asarray([args.seed, it, 7], jnp.int32),
                 spp=args.spp, width=w, height=h, max_bounces=args.bounces,
+                use_nee=args.nee,
             )
             img.block_until_ready()
             meter.update(time.perf_counter() - t0, int(nrays))

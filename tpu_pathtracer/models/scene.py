@@ -71,6 +71,8 @@ class Scene:
     # prims, dielectric math skipped in glass-free scenes).
     emissive_prims: tuple = flax.struct.field(pytree_node=False, default=())
     prim_mtypes: tuple = flax.struct.field(pytree_node=False, default=())
+    # ((light_type, prim_index_or_-1), ...) per light — static structure
+    light_structure: tuple = flax.struct.field(pytree_node=False, default=())
 
     # Triangle mesh + BVH (None = sphere-only scene, the reference's world).
     # See models/mesh.py; fills primitive.h:26 / scene.h:33 TODOs.
@@ -247,6 +249,9 @@ def make_scene(
         ),
         prim_mtypes=tuple(
             int(materials[s["material"]]["type"]) for s in spheres
+        ),
+        light_structure=tuple(
+            (int(l["type"]), int(l.get("prim", -1))) for l in lights
         ),
         mesh=mesh,
         textures=textures,

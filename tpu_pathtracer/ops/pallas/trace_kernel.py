@@ -101,6 +101,7 @@ def _trace_kernel(
     # SMEM operands
     prims_ref,  # (P, 12) f32: cx cy cz r ax ay az coef mtype ex ey ez
     cam_ref,  # (16,) f32 packed camera
+    lights_ref,  # (L, 8) f32: pos3 intensity3 cdf_lo sel_pdf
     # outputs
     lr_ref, lg_ref, lb_ref,  # (ROWS, 128) radiance per channel
     nrays_ref,  # (n_tiles, 1) int32 live-ray counters
@@ -110,6 +111,8 @@ def _trace_kernel(
     emissive: tuple,
     spec_prims: tuple,
     trans_prims: tuple,
+    lights_static: tuple,  # ((type, prim_or_-1), ...) scene structure
+    use_nee: bool,
     spp: int,
     width: int,
     max_bounces: int,
@@ -215,17 +218,23 @@ def _trace_kernel(
         is_t = jnp.zeros(shape, jnp.bool_)
         for p in trans_prims:
             is_t = is_t | (best_p == p)
-        return (hit, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, is_s, is_t,
-                er, eg, eb)
+        return (hit, best_p, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef,
+                is_s, is_t, er, eg, eb)
 
     h0 = intersect(ox, oy, oz, dx, dy, dz)
-    (hit, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, is_s, is_t, er, eg, eb) = h0
+    (hit, bp, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, is_s, is_t,
+     er, eg, eb) = h0
 
     Lr = fzeros; Lg = fzeros; Lb = fzeros
     Tr = fzeros + 1.0; Tg = fzeros + 1.0; Tb = fzeros + 1.0
     alive = hit & (lane < n_lanes)  # padded tail lanes never trace
     wox, woy, woz = dx, dy, dz
     n_live = jnp.sum((lane < n_lanes).astype(jnp.int32))  # primary rays
+    # MIS state: origin of the incoming ray, pdf of the BSDF draw that
+    # produced this hit, and whether it was a delta lobe (primaries = yes)
+    pox, poy, poz = ox, oy, oz
+    prev_pdf = fzeros
+    prev_delta = jnp.ones(shape, jnp.bool_)
 
     for bounce in range(max_bounces + 1):
         # ---- per-bounce uniforms (bsdf u, v, rr) — one batched draw
@@ -237,12 +246,141 @@ def _trace_kernel(
         # ---- emitter-hit accumulation (pathtracer.cu:134-137)
         one_sided = _dot3(nx, ny, nz, -wox, -woy, -woz) > 0.0
         take = (alive & one_sided).astype(jnp.float32)
+        if use_nee:
+            # MIS counterweight: pdf the light sampler assigns to this
+            # direction (cone pdf from the previous vertex x selection)
+            ldp = fzeros
+            for li, (ltype, lprim) in enumerate(lights_static):
+                if ltype != 1 or lprim < 0:  # area lights only
+                    continue
+                m = bp == lprim
+                dlx = prims_ref[lprim, 0] - pox
+                dly = prims_ref[lprim, 1] - poy
+                dlz = prims_ref[lprim, 2] - poz
+                d2l = _dot3(dlx, dly, dlz, dlx, dly, dlz)
+                rl = prims_ref[lprim, 3]
+                sin2 = jnp.minimum(rl * rl / jnp.maximum(d2l, 1e-12), 1.0)
+                ctm = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+                pc = 1.0 / (2.0 * math.pi * jnp.maximum(1.0 - ctm, 1e-12))
+                pc = jnp.where(d2l > rl * rl, pc, 0.0)  # inside: bsdf-only
+                ldp = jnp.where(m, pc * lights_ref[li, 7], ldp)
+            pp2 = prev_pdf * prev_pdf
+            w_emit = jnp.where(
+                prev_delta, 1.0, pp2 / jnp.maximum(pp2 + ldp * ldp, 1e-20)
+            )
+            take = take * w_emit
         Lr = Lr + Tr * er * take
         Lg = Lg + Tg * eg * take
         Lb = Lb + Tb * eb * take
 
-        # ---- BSDF sampling (scene.h:177-221, masked lanes)
+        # ---- next-event estimation (live scene.h:150-170, in-kernel)
         is_d = ~(is_s | is_t) if (spec_prims or trans_prims) else None
+        if use_nee:
+            un = _rand((3 * rows, LANES))
+            ul1 = un[:rows]
+            ul2 = un[rows:2 * rows]
+            usel = un[2 * rows:]
+            n_lights_s = len(lights_static)
+            for li, (ltype, lprim) in enumerate(lights_static):
+                lo = lights_ref[li, 6]
+                sel = lights_ref[li, 7]
+                if li == n_lights_s - 1:
+                    m_l = usel >= lo
+                else:
+                    m_l = (usel >= lo) & (usel < lo + sel)
+                ir_l = lights_ref[li, 3]
+                ig_l = lights_ref[li, 4]
+                ib_l = lights_ref[li, 5]
+                if ltype == 1 and lprim >= 0:  # area (sphere) light
+                    wrx = prims_ref[lprim, 0] - hx
+                    wry = prims_ref[lprim, 1] - hy
+                    wrz = prims_ref[lprim, 2] - hz
+                    rl = prims_ref[lprim, 3]
+                    d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
+                    distc = jnp.sqrt(jnp.maximum(d2l, 1e-20))
+                    wcx = wrx / distc; wcy = wry / distc; wcz = wrz / distc
+                    sin2 = jnp.minimum(rl * rl / jnp.maximum(d2l, 1e-12), 1.0)
+                    ctm = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+                    cth = 1.0 - ul1 * (1.0 - ctm)
+                    sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+                    phi = (2.0 * math.pi) * ul2
+                    # ONB around wc
+                    usex = jnp.abs(wcx) > jnp.abs(wcz)
+                    ax = jnp.where(usex, -wcy, 0.0)
+                    ay = jnp.where(usex, wcx, -wcz)
+                    az = jnp.where(usex, 0.0, wcy)
+                    ax, ay, az = _normalize3(ax, ay, az)
+                    bx = wcy * az - wcz * ay
+                    by = wcz * ax - wcx * az
+                    bz = wcx * ay - wcy * ax
+                    cp = jnp.cos(phi) * sth
+                    sp = jnp.sin(phi) * sth
+                    wlx = ax * cp + bx * sp + wcx * cth
+                    wly = ay * cp + by * sp + wcy * cth
+                    wlz = az * cp + bz * sp + wcz * cth
+                    bq = _dot3(wrx, wry, wrz, wlx, wly, wlz)
+                    detq = bq * bq - d2l + rl * rl
+                    thit = bq - jnp.sqrt(jnp.maximum(detq, 0.0))
+                    valid = (detq >= 0.0) & (thit > tmin) & (d2l > rl * rl)
+                    # front-face emission (ns.(-wl) > 0)
+                    nsx = (hx + wlx * thit - prims_ref[lprim, 0]) / rl
+                    nsy = (hy + wly * thit - prims_ref[lprim, 1]) / rl
+                    nsz = (hz + wlz * thit - prims_ref[lprim, 2]) / rl
+                    front = _dot3(nsx, nsy, nsz, -wlx, -wly, -wlz) > 0.0
+                    valid = valid & front
+                    pdf_l = sel / (2.0 * math.pi * jnp.maximum(1.0 - ctm, 1e-12))
+                    dist_l = thit
+                    rad_r, rad_g, rad_b = ir_l, ig_l, ib_l
+                    is_delta = False
+                else:  # point light (scene.h:153-158)
+                    wrx = lights_ref[li, 0] - hx
+                    wry = lights_ref[li, 1] - hy
+                    wrz = lights_ref[li, 2] - hz
+                    d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
+                    dist_l = jnp.sqrt(jnp.maximum(d2l, 1e-20))
+                    wlx = wrx / dist_l; wly = wry / dist_l; wlz = wrz / dist_l
+                    inv_d2 = 1.0 / jnp.maximum(d2l, 1e-12)
+                    rad_r = ir_l * inv_d2
+                    rad_g = ig_l * inv_d2
+                    rad_b = ib_l * inv_d2
+                    pdf_l = sel + fzeros
+                    valid = dist_l > tmin
+                    is_delta = True
+                # shadow any-hit over the sphere scene (scene.h:101-108)
+                smax = dist_l * (1.0 - 1e-3) - tmin
+                occ = jnp.zeros(shape, jnp.bool_)
+                for pp in range(n_prims):
+                    sx2 = prims_ref[pp, 0] - hx
+                    sy2 = prims_ref[pp, 1] - hy
+                    sz2 = prims_ref[pp, 2] - hz
+                    rb = _dot3(sx2, sy2, sz2, wlx, wly, wlz)
+                    rdet = rb * rb - _dot3(sx2, sy2, sz2, sx2, sy2, sz2)                         + prims_ref[pp, 3] * prims_ref[pp, 3]
+                    rsq = jnp.sqrt(jnp.maximum(rdet, 0.0))
+                    rt = jnp.where(rb - rsq > tmin, rb - rsq, rb + rsq)
+                    occ = occ | ((rdet >= 0.0) & (rt > tmin) & (rt < smax))
+                # diffuse-only direct light with MIS (montecarlo.h:156-159)
+                cos_l = _dot3(wlx, wly, wlz, nx, ny, nz)
+                support = (cos_l > 0.0) & (
+                    _dot3(wox, woy, woz, wlx, wly, wlz) < 0.0
+                )
+                if spec_prims or trans_prims:
+                    support = support & is_d
+                if is_delta:
+                    w_mis = 1.0
+                else:
+                    pdf_b_l = jnp.where(support, cos_l * INV_PI, 0.0)
+                    w_mis = (pdf_l * pdf_l) / jnp.maximum(
+                        pdf_l * pdf_l + pdf_b_l * pdf_b_l, 1e-20
+                    )
+                gate = (
+                    alive & m_l & valid & support & ~occ
+                ).astype(jnp.float32)
+                scale = gate * cos_l * w_mis / jnp.maximum(pdf_l, 1e-20)
+                Lr = Lr + Tr * (ar * INV_PI) * rad_r * scale
+                Lg = Lg + Tg * (ag * INV_PI) * rad_g * scale
+                Lb = Lb + Tb * (ab * INV_PI) * rad_b * scale
+
+        # ---- BSDF sampling (scene.h:177-221, masked lanes)
 
         # diffuse: concentric disk -> cosine hemisphere in the n frame
         sx_ = 2.0 * u1 - 1.0
@@ -367,7 +505,11 @@ def _trace_kernel(
 
         if bounce < max_bounces:
             # ---- next segment
-            (hit, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, is_s, is_t,
+            pox, poy, poz = hx, hy, hz
+            prev_pdf = pdf
+            prev_delta = (is_s | is_t) if (spec_prims or trans_prims) \
+                else jnp.zeros(shape, jnp.bool_)
+            (hit, bp, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, is_s, is_t,
              er, eg, eb) = intersect(hx, hy, hz, wix, wiy, wiz)
             alive = alive & hit
             wox, woy, woz = wix, wiy, wiz
@@ -381,7 +523,7 @@ def _trace_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "width", "height", "max_bounces", "rr_start",
-                     "tile_rows"),
+                     "tile_rows", "use_nee"),
 )
 def pallas_render(
     scene: Scene,
@@ -394,6 +536,7 @@ def pallas_render(
     max_bounces: int = 10,
     rr_start: int = 3,
     tile_rows: int = 16,
+    use_nee: bool = False,
 ):
     """Render via the fused kernel. Returns ((H, W, 3) image, rays traced)."""
     attrs = prim_attrs(scene)
@@ -422,6 +565,36 @@ def pallas_render(
     trans_prims = tuple(
         i for i, t in enumerate(scene.prim_mtypes) if t == TRANSMISSIVE
     )
+    # Light table for in-kernel NEE: pos3 intensity3 cdf_lo sel_pdf, with
+    # power-proportional selection matching ops/lights.py.
+    lights_static = tuple(scene.light_structure)
+    if lights_static:
+        rows_l = []
+        powers = []
+        lum_w = jnp.asarray([0.212671, 0.715160, 0.072169])
+        for li, (ltype, lprim) in enumerate(lights_static):
+            inten = scene.light_intensity[li]
+            lum = jnp.sum(inten * lum_w)
+            if ltype == 1 and lprim >= 0:
+                r = scene.radii[lprim]
+                powers.append(lum * 4.0 * jnp.pi * r * r)
+                pos = scene.centers[lprim]
+            else:
+                powers.append(lum)
+                pos = scene.light_pos[li]
+            rows_l.append((pos, inten))
+        pw = jnp.stack(powers)
+        total = jnp.maximum(jnp.sum(pw), 1e-20)
+        sel = pw / total
+        cdf_lo = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(sel)[:-1]])
+        lights_tab = jnp.stack(
+            [
+                jnp.concatenate([pos, inten, cdf_lo[li, None], sel[li, None]])
+                for li, (pos, inten) in enumerate(rows_l)
+            ]
+        ).astype(jnp.float32)
+    else:
+        lights_tab = jnp.zeros((1, 8), jnp.float32)
     kernel = functools.partial(
         _trace_kernel,
         rows=tile_rows,
@@ -429,6 +602,8 @@ def pallas_render(
         emissive=tuple(scene.emissive_prims),
         spec_prims=spec_prims,
         trans_prims=trans_prims,
+        lights_static=lights_static,
+        use_nee=use_nee,
         spp=spp,
         width=width,
         max_bounces=max_bounces,
@@ -449,6 +624,8 @@ def pallas_render(
             pl.BlockSpec((n_prims, 12), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((16,), lambda i, *_: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(lights_tab.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0)),
@@ -462,7 +639,7 @@ def pallas_render(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-    )(seed, prims, cam_packed)
+    )(seed, prims, cam_packed, lights_tab)
 
     lanes_r = lr.reshape(-1)[:n_lanes]
     lanes_g = lg.reshape(-1)[:n_lanes]
