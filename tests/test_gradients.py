@@ -162,3 +162,35 @@ def test_inverse_rendering_recovers_albedo():
     d0 = np.linalg.norm(np.full(3, 0.3) - true_albedo)
     d1 = np.linalg.norm(got - true_albedo)
     assert d1 < 0.7 * d0, (got, true_albedo, d0, d1)
+
+
+def test_grad_camera_pose_matches_fd_edge_free():
+    """Camera-pose gradients, FD-validated with ATTACHED sampling
+    (detach_sampling=False -> the cosine-hemisphere draw is reparameterized
+    through the normal) on an edge-free view: the floor fills the frame, a
+    point light gives a smooth 1/d^2 field, so the integrand has no
+    visibility discontinuities in pose. (With silhouettes in frame, FD
+    picks up edge terms the interior gradient intentionally omits —
+    SURVEY.md hard parts: edge-free assumption, documented.)"""
+    scene = sc.make_scene(
+        [sc.sphere([0, -1e4, 0], 1e4, 0)],
+        [sc.diffuse([0.8, 0.8, 0.8])],
+        [sc.point_light([2, 4, 1], [30, 30, 30])],
+    )
+    cam = cm.make_camera([0, 3, 6], [0, 0, 0], [0, 1, 0], 16, 12, 45.0)
+    cfg = RenderConfig(spp=4, max_bounces=1, use_nee=True,
+                       detach_sampling=False)
+    key = jax.random.key(3)
+    w = jnp.asarray(np.random.default_rng(1).random((12, 16, 3), np.float32))
+
+    def f(pos):
+        return jnp.sum(render(scene, cam.replace(pos=pos), key, cfg) * w)
+
+    g = np.array(jax.grad(f)(cam.pos))
+    eps = 8e-3  # below this, f32 evaluation noise dominates the quotient
+    fd = np.zeros(3)
+    for i in range(3):
+        dp = jnp.zeros(3).at[i].set(eps)
+        fd[i] = (float(f(cam.pos + dp)) - float(f(cam.pos - dp))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=2e-2, atol=1e-3)
+    assert np.abs(g).max() > 1.0  # a real gradient, not a degenerate zero

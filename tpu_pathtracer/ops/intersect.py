@@ -143,7 +143,11 @@ def intersect(
     coef = _mm(one_hot, attrs.coef)
     mtype = _mm(one_hot, attrs.mtype.astype(o.dtype)).astype(jnp.int32)
 
-    p = o + d * t[:, None]
+    # Miss lanes get a unit-distance dummy point instead of o + d*BIG: the
+    # huge coordinate would overflow (inf) in downstream distance math and
+    # poison gradients through jnp.where (NaN * 0); all its contributions
+    # are masked by `hit` anyway.
+    p = o + d * jnp.where(hit, t, 1.0)[:, None]
     # Outward normal (p-c)/r (reference primitive.h:74); safe on miss lanes.
     n = (p - center) / jnp.maximum(radius, 1e-12)[:, None]
 
@@ -193,7 +197,7 @@ def _merge_mesh_hit(scene, o, d, tmin,
         t_albedo = jnp.where((tex_id >= 0)[:, None], tex_rgb, t_albedo)
 
     cl = closer[:, None]
-    tp = o + d * th.t[:, None]
+    tp = o + d * jnp.where(th.t < 0.5 * BIG, th.t, 1.0)[:, None]
     t_out = jnp.where(closer, th.t, t)
     # mesh prims live in a separate index space; offset past the spheres
     idx_out = jnp.where(closer, scene.centers.shape[0] + th.tri, idx)
