@@ -59,6 +59,7 @@ class MeshData:
 
     num_tris: int = flax.struct.field(pytree_node=False, default=0)
     num_nodes: int = flax.struct.field(pytree_node=False, default=0)
+    leaf_size: int = flax.struct.field(pytree_node=False, default=LEAF_SIZE)
 
 
 def build_bvh(
@@ -107,6 +108,7 @@ def build_bvh(
             return _finalize(
                 v0, v1, v2, uvs, faces, material_id,
                 perm.astype(np.int64), nmin, nmax, nskip, nstart, ncount,
+                leaf_size=leaf_size,
             )
 
     order: list[int] = []  # triangle permutation (leaf order)
@@ -157,12 +159,13 @@ def build_bvh(
         v0, v1, v2, uvs, faces, material_id, perm,
         np.stack(nodes_min), np.stack(nodes_max),
         np.asarray(nodes_end), np.asarray(nodes_start),
-        np.asarray(nodes_count),
+        np.asarray(nodes_count), leaf_size=leaf_size,
     )
 
 
 def _finalize(v0, v1, v2, uvs, faces, material_id, perm,
-              node_min, node_max, node_skip, node_start, node_count) -> MeshData:
+              node_min, node_max, node_skip, node_start, node_count,
+              leaf_size=LEAF_SIZE) -> MeshData:
     """Reorder triangles into leaf order and pack the MeshData pytree."""
     T = perm.shape[0]
     v0o, v1o, v2o = v0[perm], v1[perm], v2[perm]
@@ -205,4 +208,5 @@ def _finalize(v0, v1, v2, uvs, faces, material_id, perm,
         tris_packed=jnp.asarray(tris_packed),
         num_tris=T,
         num_nodes=M,
+        leaf_size=leaf_size,
     )

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array, lax
 
-from tpu_pathtracer.models.mesh import LEAF_SIZE, MeshData
+from tpu_pathtracer.models.mesh import MeshData
 from tpu_pathtracer.ops import vecmath as vm
 
 BIG = 1e30
@@ -108,7 +108,7 @@ def intersect_mesh(
 
         is_leaf = count > 0
         test_leaf = box_hit & is_leaf
-        for j in range(LEAF_SIZE):
+        for j in range(mesh.leaf_size):
             tri = jnp.minimum(start + j, mesh.v0.shape[0] - 1)
             m = test_leaf & (j < count)
             td = jnp.take(mesh.tris_packed, tri, axis=0)  # (N,12) one gather
