@@ -34,7 +34,7 @@ from tpu_pathtracer.models import camera as cam_mod
 from tpu_pathtracer.models.camera import Camera
 from tpu_pathtracer.models.scene import EPSILON, Scene, prim_attrs
 from tpu_pathtracer.ops import bsdf, lights, sampling, vecmath as vm
-from tpu_pathtracer.ops.intersect import BIG, Hit, intersect, intersect_p
+from tpu_pathtracer.ops.intersect import intersect, intersect_p
 from tpu_pathtracer.utils import rng
 
 

@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_pathtracer.models.scene import (
-    DIFFUSE, SPECULAR, TRANSMISSIVE, EPSILON, Scene, prim_attrs,
+    SPECULAR, TRANSMISSIVE, EPSILON, Scene, prim_attrs,
 )
 
 LANES = 128  # VPU lane width: last dim of every tile

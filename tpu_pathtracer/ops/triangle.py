@@ -11,7 +11,6 @@ scatters, no dynamic shapes.
 from __future__ import annotations
 
 import flax.struct
-import jax
 import jax.numpy as jnp
 from jax import Array, lax
 
