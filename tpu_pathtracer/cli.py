@@ -87,13 +87,30 @@ def cmd_render(args: argparse.Namespace) -> int:
         hdr = (acc / args.iterations).astype(np.float32)
     else:
         r = ProgressiveRenderer(scene, camera, config, seed=args.seed)
-        for it in range(args.iterations):
+        if args.checkpoint_dir:
+            from tpu_pathtracer.utils import checkpoint as ckpt
+
+            step0 = ckpt.latest_step(args.checkpoint_dir)
+            if step0 is not None:
+                r.state = ckpt.restore_state(args.checkpoint_dir, r.state)
+                print(f"resumed from iteration {int(r.state.iteration)}",
+                      file=sys.stderr)
+        while r.iteration < args.iterations:
             t0 = time.perf_counter()
             r.step()
             r.state.radiance_sum.block_until_ready()
             meter.update(time.perf_counter() - t0, None)
             if not args.quiet:
-                print(f"\r{meter.status(it + 1)}", end="", file=sys.stderr)
+                print(f"\r{meter.status(r.iteration)}", end="", file=sys.stderr)
+            if (args.checkpoint_dir
+                    and r.iteration % args.checkpoint_every == 0):
+                from tpu_pathtracer.utils import checkpoint as ckpt
+
+                ckpt.save_state(args.checkpoint_dir, r.iteration, r.state)
+        if args.checkpoint_dir:
+            from tpu_pathtracer.utils import checkpoint as ckpt
+
+            ckpt.save_state(args.checkpoint_dir, r.iteration, r.state)
         hdr = np.array(r.image())
     if not args.quiet:
         print(file=sys.stderr)
@@ -205,6 +222,11 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--backend", choices=["auto", "xla", "pallas"],
                     default="auto")
     pr.add_argument("--gamma", type=float, default=2.2)
+    pr.add_argument("--checkpoint-dir",
+                    help="orbax snapshot dir: resume an interrupted "
+                         "progressive render bit-exactly (xla backend)")
+    pr.add_argument("--checkpoint-every", type=int, default=8,
+                    help="snapshot every N iterations")
     pr.add_argument("-o", "--output", help="PNG output path")
     pr.add_argument("--hdr-output", help="linear .npy output path")
     pr.add_argument("-q", "--quiet", action="store_true")
