@@ -201,3 +201,42 @@ def test_golden_cornell_boxes():
         pytest.skip("golden image generated; rerun to compare")
     want = np.load(path)
     np.testing.assert_allclose(img, want, rtol=1e-4, atol=1e-5)
+
+
+def test_spp_nine_stratification():
+    """Non-4 square spp (3x3 grid) renders and stays stratified."""
+    scene, cs = sc.single_sphere()
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 16, 16, cs["fov"])
+    img = np.array(render_image(scene, cam, jax.random.key(0),
+                                RenderConfig(spp=9, max_bounces=2, use_nee=True)))
+    assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_zero_prim_padding_only_scene():
+    """A scene whose padded rows dominate still renders (all misses black)."""
+    scene = sc.make_scene([sc.sphere([0, 0, -500], 0.1, 0)],
+                          [sc.diffuse([1, 1, 1])], [])
+    cam = cm.make_camera([0, 0, 0], [0, 0, -1], [0, 1, 0], 8, 8, 30.0)
+    img = np.array(render_image(scene, cam, jax.random.key(0),
+                                RenderConfig(spp=2, max_bounces=2)))
+    assert np.isfinite(img).all()
+
+
+def test_progressive_plus_sharded_consistency():
+    """Progressive accumulation of sharded frames equals accumulation of
+    single-device frames (lane-keyed RNG makes the frames identical)."""
+    from tpu_pathtracer.parallel.mesh import make_mesh
+    from tpu_pathtracer.parallel.sharding import render_sharded_jit
+
+    scene, cs = sc.single_sphere()
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 16, 16, cs["fov"])
+    cfg = RenderConfig(spp=4, max_bounces=2)
+    mesh = make_mesh(jax.devices(), n_tile=4, n_sample=2)
+    key = jax.random.key(8)
+    acc_single = acc_shard = 0
+    for it in range(3):
+        acc_single = acc_single + np.array(
+            render_image(scene, cam, key, cfg, iteration=it))
+        acc_shard = acc_shard + np.array(
+            render_sharded_jit(scene, cam, key, cfg, mesh, iteration=it))
+    np.testing.assert_array_equal(acc_single, acc_shard)
