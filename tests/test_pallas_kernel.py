@@ -105,3 +105,56 @@ def test_nee_kernel_point_light():
         spp=4, width=32, height=32, max_bounces=3, use_nee=True,
     )
     assert float(jnp.max(img)) > 0.1  # point light visible via NEE
+
+
+def test_packet_traversal_matches_xla():
+    from tpu_pathtracer.models import meshes
+    from tpu_pathtracer.models.mesh import build_bvh
+    from tpu_pathtracer.ops.pallas.mesh_kernel import (
+        intersect_mesh_packet, pack_mesh,
+    )
+    from tpu_pathtracer.ops.triangle import BIG, intersect_mesh
+
+    v, f, uv = meshes.terrain(n=48, extent=80, height=10)
+    mesh = build_bvh(v, f, uv, leaf_size=32)
+    packed = pack_mesh(mesh)
+    rng = np.random.default_rng(0)
+    n = 2048
+    o = jnp.asarray(np.stack([rng.uniform(-40, 40, n), rng.uniform(15, 30, n),
+                              rng.uniform(-40, 40, n)], -1), jnp.float32)
+    dd = rng.normal(size=(n, 3))
+    dd[:, 1] = -np.abs(dd[:, 1]) - 0.2
+    dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
+    d = jnp.asarray(dd, jnp.float32)
+    for sort in (False, True):
+        tp, trip, up, vp = intersect_mesh_packet(packed, o, d, tmin=1e-3,
+                                                 sort=sort)
+        ref = intersect_mesh(mesh, o, d, tmin=1e-3)
+        tp_n, tx_n = np.array(tp), np.array(ref.t)
+        hit_p, hit_x = tp_n < BIG / 2, tx_n < BIG / 2
+        assert (hit_p == hit_x).all(), sort
+        both = hit_p & hit_x
+        np.testing.assert_allclose(tp_n[both], tx_n[both], rtol=1e-5)
+        np.testing.assert_array_equal(np.array(trip)[both],
+                                      np.array(ref.tri)[both])
+
+
+def test_packet_scene_render_matches_xla_mesh_path():
+    from tpu_pathtracer.models import meshes
+    from tpu_pathtracer.models.mesh import build_bvh
+    from tpu_pathtracer.models.scene import with_packet_mesh
+
+    v, f, uv = meshes.quad([-10, 0, 10], [10, 0, 10], [10, 0, -10], [-10, 0, -10])
+    mesh = build_bvh(v, f, uv, material_id=0, leaf_size=32)
+    scene = sc.make_scene(
+        [sc.sphere([0, 15, 0], 3.0, 1, 0)],
+        [sc.diffuse([0.6, 0.6, 0.6]), sc.diffuse([1, 1, 1])],
+        [sc.area_light(0, [40, 40, 40])],
+        mesh=mesh,
+    )
+    cam = cm.make_camera([0, 12, 12], [0, 0, 0], [0, 1, 0], 32, 24, 60.0)
+    cfg = RenderConfig(spp=2, max_bounces=2, use_nee=True)
+    a = render_image(scene, cam, jax.random.key(0), cfg)
+    b = render_image(with_packet_mesh(scene), cam, jax.random.key(0), cfg)
+    # identical RNG + equivalent traversal -> identical images (fp-tolerant)
+    np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-4, atol=1e-5)

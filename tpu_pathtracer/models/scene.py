@@ -81,6 +81,20 @@ class Scene:
     # plain color); config-4 textured scenes.
     textures: Any = None
     mat_texture: Any = None
+    # Packet-traversal mesh layout (ops/pallas/mesh_kernel.py): when set,
+    # mesh intersections run in the Pallas packet kernel (TPU only, ~100x
+    # the XLA gather traversal on coherent rays; forward-only — leave None
+    # for differentiable-mesh or CPU runs).
+    mesh_packed: Any = None
+
+
+def with_packet_mesh(scene: "Scene") -> "Scene":
+    """Enable the TPU packet-traversal backend for this scene's mesh."""
+    if scene.mesh is None:
+        return scene
+    from tpu_pathtracer.ops.pallas.mesh_kernel import pack_mesh
+
+    return scene.replace(mesh_packed=pack_mesh(scene.mesh))
 
 
 @flax.struct.dataclass

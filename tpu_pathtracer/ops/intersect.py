@@ -102,12 +102,22 @@ def intersect_p(
     t = ray_sphere_t(scene, o, d, tmin=tmin)
     occluded = jnp.any(t < tmax_arr[:, None], axis=-1)
     if scene.mesh is not None:
-        from tpu_pathtracer.ops.triangle import intersect_mesh
+        if scene.mesh_packed is not None:
+            from tpu_pathtracer.ops.pallas.mesh_kernel import (
+                intersect_mesh_packet,
+            )
 
-        th = intersect_mesh(
-            scene.mesh, o, d, tmin=tmin, tmax=tmax_arr, any_hit=True
-        )
-        occluded = occluded | (th.t < tmax_arr)
+            tt, _, _, _ = intersect_mesh_packet(
+                scene.mesh_packed, o, d, tmin=tmin
+            )
+            occluded = occluded | (tt < tmax_arr)
+        else:
+            from tpu_pathtracer.ops.triangle import intersect_mesh
+
+            th = intersect_mesh(
+                scene.mesh, o, d, tmin=tmin, tmax=tmax_arr, any_hit=True
+            )
+            occluded = occluded | (th.t < tmax_arr)
     return occluded
 
 
@@ -175,10 +185,22 @@ def _merge_mesh_hit(scene, o, d, tmin,
     sphere-backed, like the reference's light model, light.h:40-44).
     """
     from tpu_pathtracer.ops.texture import sample_bilinear
-    from tpu_pathtracer.ops.triangle import intersect_mesh
 
     mesh = scene.mesh
-    th = intersect_mesh(mesh, o, d, tmin=tmin)
+    if scene.mesh_packed is not None:
+        from tpu_pathtracer.ops.pallas.mesh_kernel import intersect_mesh_packet
+
+        tt, tri, uu, vv = intersect_mesh_packet(
+            scene.mesh_packed, o, d, tmin=tmin
+        )
+        import flax.struct as _fs  # noqa: F401  (TriHit-compatible tuple)
+        from tpu_pathtracer.ops.triangle import TriHit
+
+        th = TriHit(t=tt, tri=tri, u=uu, v=vv)
+    else:
+        from tpu_pathtracer.ops.triangle import intersect_mesh
+
+        th = intersect_mesh(mesh, o, d, tmin=tmin)
     closer = th.t < t
 
     tn = jnp.take(mesh.n_geom, th.tri, axis=0)
