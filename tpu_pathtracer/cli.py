@@ -86,6 +86,10 @@ def cmd_render(args: argparse.Namespace) -> int:
                 print(f"\r{meter.status(it + 1)}", end="", file=sys.stderr)
         hdr = (acc / args.iterations).astype(np.float32)
     else:
+        if scene.mesh is not None and jax.devices()[0].platform != "cpu":
+            from tpu_pathtracer.models.scene import with_packet_mesh
+
+            scene = with_packet_mesh(scene)  # packet BVH kernel on TPU
         r = ProgressiveRenderer(scene, camera, config, seed=args.seed)
         if args.checkpoint_dir:
             from tpu_pathtracer.utils import checkpoint as ckpt
