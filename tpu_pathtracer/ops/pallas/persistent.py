@@ -1,0 +1,778 @@
+"""Persistent path-regeneration Pallas kernel.
+
+The round-1 fused kernel (trace_kernel.py) assigns one lane per
+(pixel, sample) and unrolls `max_bounces + 1` bounce stages over every
+lane, so a lane whose path dies at bounce 2 still burns flops for the
+remaining 8 stages — measured lane utilization was ~42% under Russian
+roulette on the reference workload.
+
+This kernel is the TPU-native answer to GPU "path regeneration" /
+persistent-thread schedulers: one lane per PIXEL, and the moment a lane's
+path dies (miss, black BSDF, RR, bounce cap) the SAME lane immediately
+starts the next sample for its own pixel. Per-lane path state — pending
+ray, throughput, per-path radiance, bounce counter, MIS state — is carried
+ACROSS kernel invocations in HBM, so a frame of `budget` wavefront
+iterations has no warm-up and no tail: every iteration advances a live
+path on (nearly) every lane. Utilization is bounded only by padded tail
+lanes and primary-miss churn.
+
+Accumulation correctness: a lane deposits emitter/NEE radiance into a
+per-PATH accumulator (cr/cg/cb); only when the path completes is it
+flushed into the per-pixel sum (lr/lg/lb) and the per-pixel sample count
+bumped. The progressive image is sum / count — in-flight paths are never
+partially counted, so the estimator stays unbiased (each completed path is
+an independent full path sample; pixels simply complete samples at
+slightly different rates, like any adaptive sampler). The reference's
+running-mean accumulation (pathtracer.cu:104-109) is the fixed-rate
+special case of this.
+
+Integrator math is bounce-for-bounce identical to trace_kernel.py /
+models/integrator.py (emitter-hit + optional NEE/MIS, 3 BSDFs, RR after
+rr_start with p = min(0.5, max(T)), bounce cap, miss termination —
+reference pathtracer.cu:112-170 semantics), except that bounce-indexed
+decisions (RR gate, bounce cap) are per-lane vector compares instead of
+static unroll stages, because lanes are at different bounce depths.
+
+Thin-lens DOF (the reference's TODO, camera.h:68) is compiled in when the
+camera uses it: lens-disk sampling via the polar map (same uniform-disk
+distribution as the XLA path's concentric map, different warping — images
+agree in distribution, not bit-for-bit).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_pathtracer.models.scene import (
+    SPECULAR, TRANSMISSIVE, EPSILON, Scene,
+)
+from tpu_pathtracer.ops.pallas.trace_kernel import (
+    LANES, BIG, INV_PI,
+    _dot3, _normalize3, _rand, _seed_streams,
+    pack_camera, pack_lights, pack_prims,
+)
+
+
+@flax.struct.dataclass
+class PathState:
+    """Per-lane persistent state, all shaped (rows_total, 128).
+
+    Lane layout: lane = tile * (tile_rows * 128) + row * 128 + col, and
+    lane == pixel index (py * width + px). Lanes >= width * height are
+    padding and never activate.
+    """
+
+    # per-pixel accumulators (the progressive framebuffer)
+    lr: Array
+    lg: Array
+    lb: Array
+    n_samp: Array  # int32 — COMPLETED paths per pixel
+    # in-flight path state
+    ox: Array
+    oy: Array
+    oz: Array  # pending-ray origin (also the MIS previous vertex)
+    dx: Array
+    dy: Array
+    dz: Array  # pending-ray direction
+    tr: Array
+    tg: Array
+    tb: Array  # throughput
+    cr: Array
+    cg: Array
+    cb: Array  # current-path radiance (flushed into lr.. on completion)
+    bounce: Array  # int32 per-lane bounce depth of the pending ray
+    alive: Array  # int32 0/1 — pending ray valid
+    prev_pdf: Array  # BSDF pdf that produced the pending ray (MIS)
+    prev_delta: Array  # int32 0/1 — pending ray came from a delta lobe
+    frame: Array  # () int32 — kernel invocations so far (RNG stream index)
+
+
+N_LANE_ARRAYS = 19  # state fields above minus the scalar `frame`
+
+
+def init_state(width: int, height: int, tile_rows: int = 32) -> PathState:
+    n_lanes = width * height
+    tile_lanes = tile_rows * LANES
+    n_tiles = -(-n_lanes // tile_lanes)
+    shape = (n_tiles * tile_rows, LANES)
+    f = lambda: jnp.zeros(shape, jnp.float32)
+    i = lambda: jnp.zeros(shape, jnp.int32)
+    return PathState(
+        lr=f(), lg=f(), lb=f(), n_samp=i(),
+        ox=f(), oy=f(), oz=f(), dx=f(), dy=f(), dz=f(),
+        tr=f(), tg=f(), tb=f(), cr=f(), cg=f(), cb=f(),
+        bounce=i(), alive=i(), prev_pdf=f(), prev_delta=i(),
+        frame=jnp.zeros((), jnp.int32),
+    )
+
+
+def state_image(state: PathState, width: int, height: int) -> Array:
+    """Progressive estimate: per-pixel completed-path mean, (H, W, 3)."""
+    n = jnp.maximum(state.n_samp, 1).astype(jnp.float32)
+    img = jnp.stack(
+        [state.lr / n, state.lg / n, state.lb / n], axis=-1
+    ).reshape(-1, 3)[: width * height]
+    return img.reshape(height, width, 3)
+
+
+def state_min_samples(state: PathState, width: int, height: int) -> Array:
+    """Minimum completed sample count over real (non-padding) pixels."""
+    return jnp.min(state.n_samp.reshape(-1)[: width * height])
+
+
+def _persistent_kernel(
+    # scalar prefetch
+    seed_ref,  # (4,) int32: [seed, frame, salt, tile_offset]
+    # SMEM operands
+    prims_ref,  # (P, 12) f32
+    cam_ref,  # (24,) f32 pack_camera layout
+    lights_ref,  # (L, 8) f32
+    # then: lane-state inputs (VMEM tiles, order = _STATE_FIELDS); iff
+    # external_rng one (budget * n_draw * rows, 128) uniform block (test
+    # path — the Pallas interpreter stubs the TPU hardware PRNG); then the
+    # outputs (updated lane state, order = _STATE_FIELDS) and the
+    # (n_tiles, 1) int32 SMEM live-ray counter.
+    *refs,
+    rows: int,
+    budget: int,
+    n_prims: int,
+    emissive: tuple,
+    spec_prims: tuple,
+    trans_prims: tuple,
+    lights_static: tuple,
+    use_nee: bool,
+    use_dof: bool,
+    strat_k: int,
+    width: int,
+    max_bounces: int,
+    rr_start: int,
+    tmin: float,
+    n_lanes: int,
+    external_rng: bool,
+):
+    n_state = len(_STATE_FIELDS)
+    state_in = refs[:n_state]
+    rng_ref = refs[n_state] if external_rng else None
+    n_in = n_state + (1 if external_rng else 0)
+    (lr_o, lg_o, lb_o, ns_o,
+     ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
+     tr_o, tg_o, tb_o, cr_o, cg_o, cb_o,
+     b_o, al_o, pp_o, pd_o) = refs[n_in:n_in + n_state]
+    nrays_ref = refs[n_in + n_state]
+    (lr_i, lg_i, lb_i, ns_i,
+     ox_i, oy_i, oz_i, dx_i, dy_i, dz_i,
+     tr_i, tg_i, tb_i, cr_i, cg_i, cb_i,
+     b_i, al_i, pp_i, pd_i) = state_in
+
+    tile = pl.program_id(0)
+    shape = (rows, LANES)
+    fzeros = jnp.zeros(shape, jnp.float32)
+
+    # ---- lane ids -> pixel coords (lane == pixel)
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        + (tile + seed_ref[3]) * (rows * LANES)
+    )
+    in_domain = lane < n_lanes
+    px = (lane % width).astype(jnp.float32)
+    py = (lane // width).astype(jnp.float32)
+
+    # One PRNG stream per (seed, frame, global tile); all of the frame's
+    # draws stream sequentially from it. tile_offset makes sharded multi-
+    # chip runs draw the same stream a single device would for that tile.
+    _seed_streams(
+        seed_ref[0], seed_ref[1], tile + seed_ref[3], seed_ref[2],
+        jnp.int32(0),
+    )
+
+    def intersect(ox, oy, oz, dx, dy, dz):
+        """Unrolled closest-hit over the sphere scene (scene.h:71-94)."""
+        best_t = fzeros + BIG
+        best_p = jnp.zeros(shape, jnp.int32)
+        for p in range(n_prims):
+            opx = prims_ref[p, 0] - ox
+            opy = prims_ref[p, 1] - oy
+            opz = prims_ref[p, 2] - oz
+            r = prims_ref[p, 3]
+            b = _dot3(opx, opy, opz, dx, dy, dz)
+            det = b * b - _dot3(opx, opy, opz, opx, opy, opz) + r * r
+            sq = jnp.sqrt(jnp.maximum(det, 0.0))
+            t0 = b - sq
+            # reference primitive.h:44 root selection (see trace_kernel.py)
+            t = jnp.where(t0 > tmin, t0, b + sq)
+            closer = (det >= 0.0) & (t > tmin) & (t < best_t)
+            best_t = jnp.where(closer, t, best_t)
+            best_p = jnp.where(closer, p, best_p)
+        hit = best_t < (0.5 * BIG)
+        hx = ox + dx * best_t
+        hy = oy + dy * best_t
+        hz = oz + dz * best_t
+        nx = fzeros; ny = fzeros; nz = fzeros
+        ar = fzeros; ag = fzeros; ab = fzeros
+        for p in range(n_prims):
+            is_p = best_p == p
+            nx = jnp.where(is_p, (hx - prims_ref[p, 0]) / prims_ref[p, 3], nx)
+            ny = jnp.where(is_p, (hy - prims_ref[p, 1]) / prims_ref[p, 3], ny)
+            nz = jnp.where(is_p, (hz - prims_ref[p, 2]) / prims_ref[p, 3], nz)
+            ar = jnp.where(is_p, prims_ref[p, 4], ar)
+            ag = jnp.where(is_p, prims_ref[p, 5], ag)
+            ab = jnp.where(is_p, prims_ref[p, 6], ab)
+        coef = fzeros
+        for p in (*spec_prims, *trans_prims):
+            coef = jnp.where(best_p == p, prims_ref[p, 7], coef)
+        er = fzeros; eg = fzeros; eb = fzeros
+        for p in emissive:
+            is_p = best_p == p
+            er = jnp.where(is_p, prims_ref[p, 9], er)
+            eg = jnp.where(is_p, prims_ref[p, 10], eg)
+            eb = jnp.where(is_p, prims_ref[p, 11], eb)
+        is_s = jnp.zeros(shape, jnp.bool_)
+        for p in spec_prims:
+            is_s = is_s | (best_p == p)
+        is_t = jnp.zeros(shape, jnp.bool_)
+        for p in trans_prims:
+            is_t = is_t | (best_p == p)
+        return (hit, best_p, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef,
+                is_s, is_t, er, eg, eb)
+
+    # ---- load carried state
+    Lr = lr_i[:, :]; Lg = lg_i[:, :]; Lb = lb_i[:, :]
+    n_samp = ns_i[:, :]
+    ox = ox_i[:, :]; oy = oy_i[:, :]; oz = oz_i[:, :]
+    dx = dx_i[:, :]; dy = dy_i[:, :]; dz = dz_i[:, :]
+    Tr = tr_i[:, :]; Tg = tg_i[:, :]; Tb = tb_i[:, :]
+    Cr = cr_i[:, :]; Cg = cg_i[:, :]; Cb = cb_i[:, :]
+    bounce = b_i[:, :]
+    alive = al_i[:, :] != 0
+    prev_pdf = pp_i[:, :]
+    prev_delta = pd_i[:, :] != 0
+
+    n_live = jnp.zeros((), jnp.int32)
+    kk = strat_k * strat_k
+    n_draw = (4 if use_dof else 2) + 3 + (3 if use_nee else 0)
+
+    for it_i in range(budget):
+        # ---- batched uniforms for this wavefront iteration
+        if external_rng:
+            ub = rng_ref[it_i * n_draw * rows:(it_i + 1) * n_draw * rows, :]
+        else:
+            ub = _rand((n_draw * rows, LANES))
+        u_cam = ub[:rows]
+        v_cam = ub[rows:2 * rows]
+        off = 2
+        if use_dof:
+            u_lens = ub[off * rows:(off + 1) * rows]
+            v_lens = ub[(off + 1) * rows:(off + 2) * rows]
+            off += 2
+        u1 = ub[off * rows:(off + 1) * rows]
+        u2 = ub[(off + 1) * rows:(off + 2) * rows]
+        u3 = ub[(off + 2) * rows:(off + 3) * rows]
+        off += 3
+        if use_nee:
+            ul1 = ub[off * rows:(off + 1) * rows]
+            ul2 = ub[(off + 1) * rows:(off + 2) * rows]
+            usel = ub[(off + 2) * rows:(off + 3) * rows]
+
+        # ---- regenerate: dead lanes start the next sample of their pixel
+        regen = (~alive) & in_domain
+        if strat_k > 1:
+            cell = n_samp % kk
+            ccx = (cell % strat_k).astype(jnp.float32)
+            ccy = (cell // strat_k).astype(jnp.float32)
+            jx = (ccx + u_cam) / strat_k - 0.5
+            jy = (ccy + v_cam) / strat_k - 0.5
+        else:
+            jx = u_cam - 0.5
+            jy = v_cam - 0.5
+        sx = px + jx
+        sy = py + jy
+        gdx = cam_ref[0] - cam_ref[6] * sy + cam_ref[3] * sx
+        gdy = cam_ref[1] - cam_ref[7] * sy + cam_ref[4] * sx
+        gdz = cam_ref[2] - cam_ref[8] * sy + cam_ref[5] * sx
+        gdx, gdy, gdz = _normalize3(gdx, gdy, gdz)
+        gox = fzeros + cam_ref[9]
+        goy = fzeros + cam_ref[10]
+        goz = fzeros + cam_ref[11]
+        if use_dof:
+            # Thin-lens: uniform disk via the polar map, origin offset on
+            # the lens, direction re-aimed at the focal-plane point
+            # (models/camera.py generate_rays DOF semantics).
+            lens_r = cam_ref[12] * jnp.sqrt(u_lens)
+            phi_l = (2.0 * math.pi) * v_lens
+            ldu = lens_r * jnp.cos(phi_l)
+            ldv = lens_r * jnp.sin(phi_l)
+            cos_w = (
+                gdx * cam_ref[20] + gdy * cam_ref[21] + gdz * cam_ref[22]
+            )
+            ft = cam_ref[13] / jnp.maximum(cos_w, 1e-6)
+            fpx = gox + gdx * ft
+            fpy = goy + gdy * ft
+            fpz = goz + gdz * ft
+            gox = gox + cam_ref[14] * ldu + cam_ref[17] * ldv
+            goy = goy + cam_ref[15] * ldu + cam_ref[18] * ldv
+            goz = goz + cam_ref[16] * ldu + cam_ref[19] * ldv
+            gdx, gdy, gdz = _normalize3(fpx - gox, fpy - goy, fpz - goz)
+
+        ox = jnp.where(regen, gox, ox)
+        oy = jnp.where(regen, goy, oy)
+        oz = jnp.where(regen, goz, oz)
+        dx = jnp.where(regen, gdx, dx)
+        dy = jnp.where(regen, gdy, dy)
+        dz = jnp.where(regen, gdz, dz)
+        Tr = jnp.where(regen, 1.0, Tr)
+        Tg = jnp.where(regen, 1.0, Tg)
+        Tb = jnp.where(regen, 1.0, Tb)
+        Cr = jnp.where(regen, 0.0, Cr)
+        Cg = jnp.where(regen, 0.0, Cg)
+        Cb = jnp.where(regen, 0.0, Cb)
+        bounce = jnp.where(regen, 0, bounce)
+        prev_pdf = jnp.where(regen, 0.0, prev_pdf)
+        prev_delta = prev_delta | regen
+        alive = alive | regen
+
+        n_live = n_live + jnp.sum(alive.astype(jnp.int32))
+
+        # ---- trace the pending segment
+        (hit, bp, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, is_s, is_t,
+         er, eg, eb) = intersect(ox, oy, oz, dx, dy, dz)
+        act = alive & hit
+        wox, woy, woz = dx, dy, dz
+
+        # ---- emitter-hit accumulation (pathtracer.cu:134-137 + MIS)
+        one_sided = _dot3(nx, ny, nz, -wox, -woy, -woz) > 0.0
+        take = (act & one_sided).astype(jnp.float32)
+        if use_nee:
+            ldp = fzeros
+            for li, (ltype, lprim) in enumerate(lights_static):
+                if ltype != 1 or lprim < 0:
+                    continue
+                m = bp == lprim
+                dlx = prims_ref[lprim, 0] - ox
+                dly = prims_ref[lprim, 1] - oy
+                dlz = prims_ref[lprim, 2] - oz
+                d2l = _dot3(dlx, dly, dlz, dlx, dly, dlz)
+                rl = prims_ref[lprim, 3]
+                sin2 = jnp.minimum(rl * rl / jnp.maximum(d2l, 1e-12), 1.0)
+                ctm = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+                pc = 1.0 / (2.0 * math.pi * jnp.maximum(1.0 - ctm, 1e-12))
+                pc = jnp.where(d2l > rl * rl, pc, 0.0)
+                ldp = jnp.where(m, pc * lights_ref[li, 7], ldp)
+            pp2 = prev_pdf * prev_pdf
+            w_emit = jnp.where(
+                prev_delta, 1.0, pp2 / jnp.maximum(pp2 + ldp * ldp, 1e-20)
+            )
+            take = take * w_emit
+        Cr = Cr + Tr * er * take
+        Cg = Cg + Tg * eg * take
+        Cb = Cb + Tb * eb * take
+
+        # ---- next-event estimation (live scene.h:150-170)
+        is_d = ~(is_s | is_t) if (spec_prims or trans_prims) else None
+        if use_nee:
+            n_lights_s = len(lights_static)
+            for li, (ltype, lprim) in enumerate(lights_static):
+                lo = lights_ref[li, 6]
+                sel = lights_ref[li, 7]
+                if li == n_lights_s - 1:
+                    m_l = usel >= lo
+                else:
+                    m_l = (usel >= lo) & (usel < lo + sel)
+                ir_l = lights_ref[li, 3]
+                ig_l = lights_ref[li, 4]
+                ib_l = lights_ref[li, 5]
+                if ltype == 1 and lprim >= 0:  # area (sphere) light
+                    wrx = prims_ref[lprim, 0] - hx
+                    wry = prims_ref[lprim, 1] - hy
+                    wrz = prims_ref[lprim, 2] - hz
+                    rl = prims_ref[lprim, 3]
+                    d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
+                    distc = jnp.sqrt(jnp.maximum(d2l, 1e-20))
+                    wcx = wrx / distc; wcy = wry / distc; wcz = wrz / distc
+                    sin2 = jnp.minimum(rl * rl / jnp.maximum(d2l, 1e-12), 1.0)
+                    ctm = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+                    cth = 1.0 - ul1 * (1.0 - ctm)
+                    sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+                    phi = (2.0 * math.pi) * ul2
+                    usex = jnp.abs(wcx) > jnp.abs(wcz)
+                    ax = jnp.where(usex, -wcy, 0.0)
+                    ay = jnp.where(usex, wcx, -wcz)
+                    az = jnp.where(usex, 0.0, wcy)
+                    ax, ay, az = _normalize3(ax, ay, az)
+                    bx = wcy * az - wcz * ay
+                    by = wcz * ax - wcx * az
+                    bz = wcx * ay - wcy * ax
+                    cp = jnp.cos(phi) * sth
+                    sp = jnp.sin(phi) * sth
+                    wlx = ax * cp + bx * sp + wcx * cth
+                    wly = ay * cp + by * sp + wcy * cth
+                    wlz = az * cp + bz * sp + wcz * cth
+                    bq = _dot3(wrx, wry, wrz, wlx, wly, wlz)
+                    detq = bq * bq - d2l + rl * rl
+                    thit = bq - jnp.sqrt(jnp.maximum(detq, 0.0))
+                    valid = (detq >= 0.0) & (thit > tmin) & (d2l > rl * rl)
+                    nsx = (hx + wlx * thit - prims_ref[lprim, 0]) / rl
+                    nsy = (hy + wly * thit - prims_ref[lprim, 1]) / rl
+                    nsz = (hz + wlz * thit - prims_ref[lprim, 2]) / rl
+                    front = _dot3(nsx, nsy, nsz, -wlx, -wly, -wlz) > 0.0
+                    valid = valid & front
+                    pdf_l = sel / (
+                        2.0 * math.pi * jnp.maximum(1.0 - ctm, 1e-12)
+                    )
+                    dist_l = thit
+                    rad_r, rad_g, rad_b = ir_l, ig_l, ib_l
+                    is_delta = False
+                else:  # point light (scene.h:153-158)
+                    wrx = lights_ref[li, 0] - hx
+                    wry = lights_ref[li, 1] - hy
+                    wrz = lights_ref[li, 2] - hz
+                    d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
+                    dist_l = jnp.sqrt(jnp.maximum(d2l, 1e-20))
+                    wlx = wrx / dist_l; wly = wry / dist_l; wlz = wrz / dist_l
+                    inv_d2 = 1.0 / jnp.maximum(d2l, 1e-12)
+                    rad_r = ir_l * inv_d2
+                    rad_g = ig_l * inv_d2
+                    rad_b = ib_l * inv_d2
+                    pdf_l = sel + fzeros
+                    valid = dist_l > tmin
+                    is_delta = True
+                # shadow any-hit (scene.h:101-108)
+                smax = dist_l * (1.0 - 1e-3) - tmin
+                occ = jnp.zeros(shape, jnp.bool_)
+                for pp in range(n_prims):
+                    sx2 = prims_ref[pp, 0] - hx
+                    sy2 = prims_ref[pp, 1] - hy
+                    sz2 = prims_ref[pp, 2] - hz
+                    rb = _dot3(sx2, sy2, sz2, wlx, wly, wlz)
+                    rdet = (
+                        rb * rb - _dot3(sx2, sy2, sz2, sx2, sy2, sz2)
+                        + prims_ref[pp, 3] * prims_ref[pp, 3]
+                    )
+                    rsq = jnp.sqrt(jnp.maximum(rdet, 0.0))
+                    rt = jnp.where(rb - rsq > tmin, rb - rsq, rb + rsq)
+                    occ = occ | ((rdet >= 0.0) & (rt > tmin) & (rt < smax))
+                cos_l = _dot3(wlx, wly, wlz, nx, ny, nz)
+                support = (cos_l > 0.0) & (
+                    _dot3(wox, woy, woz, wlx, wly, wlz) < 0.0
+                )
+                if spec_prims or trans_prims:
+                    support = support & is_d
+                if is_delta:
+                    w_mis = 1.0
+                else:
+                    pdf_b_l = jnp.where(support, cos_l * INV_PI, 0.0)
+                    w_mis = (pdf_l * pdf_l) / jnp.maximum(
+                        pdf_l * pdf_l + pdf_b_l * pdf_b_l, 1e-20
+                    )
+                gate = (
+                    act & m_l & valid & support & ~occ
+                ).astype(jnp.float32)
+                scale = gate * cos_l * w_mis / jnp.maximum(pdf_l, 1e-20)
+                Cr = Cr + Tr * (ar * INV_PI) * rad_r * scale
+                Cg = Cg + Tg * (ag * INV_PI) * rad_g * scale
+                Cb = Cb + Tb * (ab * INV_PI) * rad_b * scale
+
+        # ---- BSDF sampling (scene.h:177-221, masked lanes)
+        sx_ = 2.0 * u1 - 1.0
+        sy_ = 2.0 * u2 - 1.0
+        in_r12 = sx_ >= -sy_
+        in_r1 = in_r12 & (sx_ > sy_)
+        in_r2 = in_r12 & ~in_r1
+        in_r3 = ~in_r12 & (sx_ <= sy_)
+        safe = lambda a, b: a / jnp.where(jnp.abs(b) > 0.0, b, 1.0)
+        rr_ = jnp.where(in_r1, sx_,
+              jnp.where(in_r2, sy_, jnp.where(in_r3, -sx_, -sy_)))
+        th = jnp.where(in_r1, safe(sy_, sx_),
+             jnp.where(in_r2, 2.0 - safe(sx_, sy_),
+             jnp.where(in_r3, 4.0 + safe(sy_, sx_), 6.0 - safe(sx_, sy_))))
+        th = th * (math.pi / 4.0)
+        degen = (sx_ == 0.0) & (sy_ == 0.0)
+        ldx = jnp.where(degen, 0.0, rr_ * jnp.cos(th))
+        ldy = jnp.where(degen, 0.0, rr_ * jnp.sin(th))
+        ldz = jnp.sqrt(jnp.maximum(1.0 - ldx * ldx - ldy * ldy, 0.0))
+        use_x = jnp.abs(nx) > jnp.abs(nz)
+        ux = jnp.where(use_x, -ny, 0.0)
+        uy = jnp.where(use_x, nx, -nz)
+        uz = jnp.where(use_x, 0.0, ny)
+        ux, uy, uz = _normalize3(ux, uy, uz)
+        vx = ny * uz - nz * uy
+        vy = nz * ux - nx * uz
+        vz = nx * uy - ny * ux
+        wdx = ux * ldx + vx * ldy + nx * ldz
+        wdy = uy * ldx + vy * ldy + ny * ldz
+        wdz = uz * ldx + vz * ldy + nz * ldz
+        wdx, wdy, wdz = _normalize3(wdx, wdy, wdz)
+        cos_d = _dot3(wdx, wdy, wdz, nx, ny, nz)
+        pdf_d = jnp.where(
+            _dot3(wox, woy, woz, wdx, wdy, wdz) < 0.0,
+            jnp.abs(cos_d) * INV_PI, 0.0,
+        )
+
+        won = _dot3(wox, woy, woz, nx, ny, nz)
+        if spec_prims:
+            wsx = wox - 2.0 * won * nx
+            wsy = woy - 2.0 * won * ny
+            wsz = woz - 2.0 * won * nz
+
+        if trans_prims:
+            entering = won < 0.0
+            ior = jnp.maximum(coef, 1.0)
+            n1 = jnp.where(entering, 1.0, ior)
+            n2 = jnp.where(entering, ior, 1.0)
+            sgn = jnp.where(entering, 1.0, -1.0)
+            nnx = nx * sgn; nny = ny * sgn; nnz = nz * sgn
+            cos_i = -(wox * nnx + woy * nny + woz * nnz)
+            eta = n1 / n2
+            sin2t = eta * eta * (1.0 - cos_i * cos_i)
+            cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2t, 0.0))
+            r_orth = (n1 * cos_i - n2 * cos_t) / (n1 * cos_i + n2 * cos_t)
+            r_par = (n2 * cos_i - n1 * cos_t) / (n2 * cos_i + n1 * cos_t)
+            refl = jnp.where(sin2t > 1.0, 1.0,
+                             0.5 * (r_orth * r_orth + r_par * r_par))
+            do_reflect = u1 < refl
+            wonn = _dot3(wox, woy, woz, nnx, nny, nnz)
+            rfx = wox - 2.0 * wonn * nnx
+            rfy = woy - 2.0 * wonn * nny
+            rfz = woz - 2.0 * wonn * nnz
+            txx = wox * eta - (eta * (-cos_i) + cos_t) * nnx
+            txy = woy * eta - (eta * (-cos_i) + cos_t) * nny
+            txz = woz * eta - (eta * (-cos_i) + cos_t) * nnz
+            txx, txy, txz = _normalize3(txx, txy, txz)
+            wtx = jnp.where(do_reflect, rfx, txx)
+            wty = jnp.where(do_reflect, rfy, txy)
+            wtz = jnp.where(do_reflect, rfz, txz)
+
+        wix, wiy, wiz = wdx, wdy, wdz
+        fr, fg, fb = ar * INV_PI, ag * INV_PI, ab * INV_PI
+        pdf = pdf_d
+        if spec_prims:
+            wix = jnp.where(is_s, wsx, wix)
+            wiy = jnp.where(is_s, wsy, wiy)
+            wiz = jnp.where(is_s, wsz, wiz)
+            fr = jnp.where(is_s, coef * ar, fr)
+            fg = jnp.where(is_s, coef * ag, fg)
+            fb = jnp.where(is_s, coef * ab, fb)
+        if trans_prims:
+            wix = jnp.where(is_t, wtx, wix)
+            wiy = jnp.where(is_t, wty, wiy)
+            wiz = jnp.where(is_t, wtz, wiz)
+            fr = jnp.where(is_t, ar, fr)
+            fg = jnp.where(is_t, ag, fg)
+            fb = jnp.where(is_t, ab, fb)
+        if spec_prims or trans_prims:
+            pdf = jnp.where(is_d, pdf_d, 1.0)
+        f_black = (fr <= 0.0) & (fg <= 0.0) & (fb <= 0.0)
+        contrib_ok = ~f_black & (pdf > 0.0)
+
+        cos_wi = jnp.abs(_dot3(wix, wiy, wiz, nx, ny, nz))
+        wgt = cos_wi / jnp.maximum(pdf, 1e-20)
+        step_ok = act & contrib_ok
+        Tr = jnp.where(step_ok, Tr * fr * wgt, Tr)
+        Tg = jnp.where(step_ok, Tg * fg * wgt, Tg)
+        Tb = jnp.where(step_ok, Tb * fb * wgt, Tb)
+
+        # ---- Russian roulette, per-lane gated on bounce depth
+        # (pathtracer.cu:152-159; `bounce > rr_start` is a vector compare
+        # here because lanes sit at different depths)
+        do_rr = bounce > rr_start
+        p_cont = jnp.minimum(0.5, jnp.maximum(Tr, jnp.maximum(Tg, Tb)))
+        survive = u3 <= p_cont
+        boost = step_ok & do_rr & survive & (p_cont > 0.0)
+        inv_p = 1.0 / jnp.maximum(p_cont, 1e-20)
+        Tr = jnp.where(boost, Tr * inv_p, Tr)
+        Tg = jnp.where(boost, Tg * inv_p, Tg)
+        Tb = jnp.where(boost, Tb * inv_p, Tb)
+
+        alive_next = step_ok & (survive | ~do_rr) & (bounce < max_bounces)
+
+        # ---- path completion: flush per-path radiance into the pixel sum
+        died = alive & ~alive_next
+        diedf = died.astype(jnp.float32)
+        Lr = Lr + Cr * diedf
+        Lg = Lg + Cg * diedf
+        Lb = Lb + Cb * diedf
+        n_samp = n_samp + died.astype(jnp.int32)
+
+        # ---- pending ray for the next iteration (MIS prev vertex = hx..)
+        ox = jnp.where(act, hx, ox)
+        oy = jnp.where(act, hy, oy)
+        oz = jnp.where(act, hz, oz)
+        dx = jnp.where(act, wix, dx)
+        dy = jnp.where(act, wiy, dy)
+        dz = jnp.where(act, wiz, dz)
+        prev_pdf = jnp.where(act, pdf, prev_pdf)
+        new_delta = (is_s | is_t) if (spec_prims or trans_prims) \
+            else jnp.zeros(shape, jnp.bool_)
+        prev_delta = jnp.where(act, new_delta, prev_delta)
+        bounce = jnp.where(act, bounce + 1, bounce)
+        alive = alive_next
+
+    # ---- store carried state
+    lr_o[:, :] = Lr; lg_o[:, :] = Lg; lb_o[:, :] = Lb
+    ns_o[:, :] = n_samp
+    ox_o[:, :] = ox; oy_o[:, :] = oy; oz_o[:, :] = oz
+    dx_o[:, :] = dx; dy_o[:, :] = dy; dz_o[:, :] = dz
+    tr_o[:, :] = Tr; tg_o[:, :] = Tg; tb_o[:, :] = Tb
+    cr_o[:, :] = Cr; cg_o[:, :] = Cg; cb_o[:, :] = Cb
+    b_o[:, :] = bounce
+    al_o[:, :] = alive.astype(jnp.int32)
+    pp_o[:, :] = prev_pdf
+    pd_o[:, :] = prev_delta.astype(jnp.int32)
+    nrays_ref[tile, 0] = n_live
+
+
+_STATE_FIELDS = (
+    "lr", "lg", "lb", "n_samp",
+    "ox", "oy", "oz", "dx", "dy", "dz",
+    "tr", "tg", "tb", "cr", "cg", "cb",
+    "bounce", "alive", "prev_pdf", "prev_delta",
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "budget", "width", "height", "max_bounces", "rr_start",
+        "tile_rows", "use_nee", "use_dof", "strat_k", "tile_offset",
+        "interpret",
+    ),
+    donate_argnames=("state",),
+)
+def persistent_step(
+    scene: Scene,
+    cam_packed: Array,  # (24,) f32 pack_camera layout
+    seed: Array,  # (2,) int32 [seed, salt]
+    state: PathState,
+    *,
+    budget: int = 16,
+    width: int,
+    height: int,
+    max_bounces: int = 10,
+    rr_start: int = 3,
+    tile_rows: int = 32,
+    use_nee: bool = False,
+    use_dof: bool = False,
+    strat_k: int = 2,
+    tile_offset: int = 0,
+    interpret: bool = False,
+) -> tuple[PathState, Array]:
+    """Advance every lane by `budget` wavefront iterations.
+
+    Returns (new_state, live_rays_traced). Each completed path flushes into
+    the per-pixel accumulators inside `state`; read the image with
+    `state_image`. `tile_offset` lets a shard of a sharded state run with
+    globally-consistent RNG streams and pixel coordinates.
+    """
+    prims = pack_prims(scene)
+    n_prims = int(scene.num_prims)
+    spec_prims = tuple(
+        i for i, t in enumerate(scene.prim_mtypes) if t == SPECULAR
+    )
+    trans_prims = tuple(
+        i for i, t in enumerate(scene.prim_mtypes) if t == TRANSMISSIVE
+    )
+    lights_static = tuple(scene.light_structure)
+    lights_tab = pack_lights(scene)
+
+    rows_total = state.lr.shape[0]
+    n_tiles = rows_total // tile_rows
+    n_lanes = height * width
+
+    external_rng = bool(interpret)
+    kernel = functools.partial(
+        _persistent_kernel,
+        rows=tile_rows,
+        budget=budget,
+        external_rng=external_rng,
+        n_prims=n_prims,
+        emissive=tuple(scene.emissive_prims),
+        spec_prims=spec_prims,
+        trans_prims=trans_prims,
+        lights_static=lights_static,
+        use_nee=use_nee,
+        use_dof=use_dof,
+        strat_k=strat_k,
+        width=width,
+        max_bounces=max_bounces,
+        rr_start=rr_start,
+        tmin=EPSILON,
+        n_lanes=n_lanes,
+    )
+    tile_block = lambda i, *_: (i, 0)
+    state_specs = [
+        pl.BlockSpec((tile_rows, LANES), tile_block)
+        for _ in _STATE_FIELDS
+    ]
+    state_shapes = [
+        jax.ShapeDtypeStruct((rows_total, LANES), getattr(state, f).dtype)
+        for f in _STATE_FIELDS
+    ]
+    n_draw = (4 if use_dof else 2) + 3 + (3 if use_nee else 0)
+    rng_inputs = []
+    rng_specs = []
+    if external_rng:
+        # Host-side uniforms (threefry), one block per (tile, iteration):
+        # the Pallas interpreter stubs the TPU hardware PRNG to zeros, so
+        # CPU-suite runs inject real randomness through a normal operand.
+        rkey = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(0), seed[0] + 131 * seed[1]),
+            state.frame,
+        )
+        blk = budget * n_draw * tile_rows
+        rng_inputs.append(
+            jax.random.uniform(rkey, (n_tiles * blk, LANES), jnp.float32)
+        )
+        rng_specs.append(
+            pl.BlockSpec((blk, LANES), lambda i, *_: (i, 0))
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n_prims, 12), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((24,), lambda i, *_: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(lights_tab.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            *state_specs,
+            *rng_specs,
+        ],
+        out_specs=[
+            *state_specs,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+    )
+    seed4 = jnp.stack(
+        [
+            seed[0],
+            state.frame,
+            seed[1],
+            jnp.int32(tile_offset),
+        ]
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            *state_shapes,
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
+        ],
+        # The TPU-aware interpreter lets the default CPU suite run this
+        # kernel (with external_rng supplying the uniforms).
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        seed4, prims, cam_packed, lights_tab,
+        *(getattr(state, f) for f in _STATE_FIELDS),
+        *rng_inputs,
+    )
+    new_state = PathState(
+        **dict(zip(_STATE_FIELDS, outs[:-1])), frame=state.frame + 1
+    )
+    return new_state, jnp.sum(outs[-1])

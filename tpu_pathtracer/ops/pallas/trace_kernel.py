@@ -100,7 +100,7 @@ def _trace_kernel(
     seed_ref,  # (3,) int32: [seed, iteration, salt]
     # SMEM operands
     prims_ref,  # (P, 12) f32: cx cy cz r ax ay az coef mtype ex ey ez
-    cam_ref,  # (16,) f32 packed camera
+    cam_ref,  # (24,) f32 packed camera (pack_camera layout)
     lights_ref,  # (L, 8) f32: pos3 intensity3 cdf_lo sel_pdf
     # outputs
     lr_ref, lg_ref, lb_ref,  # (ROWS, 128) radiance per channel
@@ -527,7 +527,7 @@ def _trace_kernel(
 )
 def pallas_render(
     scene: Scene,
-    cam_packed: Array,  # (16,) f32: frd, px_x, px_y, pos, pad
+    cam_packed: Array,  # (24,) f32 pack_camera layout
     seed: Array,  # (3,) int32 [seed, iteration, salt]
     *,
     spp: int,
@@ -539,20 +539,8 @@ def pallas_render(
     use_nee: bool = False,
 ):
     """Render via the fused kernel. Returns ((H, W, 3) image, rays traced)."""
-    attrs = prim_attrs(scene)
+    prims = pack_prims(scene)
     n_prims = int(scene.num_prims)
-    # Pack per-prim data: cx cy cz r ax ay az coef mtype ex ey ez
-    prims = jnp.concatenate(
-        [
-            scene.centers[:n_prims],
-            scene.radii[:n_prims, None],
-            attrs.albedo[:n_prims],
-            attrs.coef[:n_prims, None],
-            attrs.mtype[:n_prims, None].astype(jnp.float32),
-            attrs.emission[:n_prims],
-        ],
-        axis=1,
-    )
 
     n_lanes = height * width * spp
     tile_lanes = tile_rows * LANES
@@ -565,36 +553,8 @@ def pallas_render(
     trans_prims = tuple(
         i for i, t in enumerate(scene.prim_mtypes) if t == TRANSMISSIVE
     )
-    # Light table for in-kernel NEE: pos3 intensity3 cdf_lo sel_pdf, with
-    # power-proportional selection matching ops/lights.py.
     lights_static = tuple(scene.light_structure)
-    if lights_static:
-        rows_l = []
-        powers = []
-        lum_w = jnp.asarray([0.212671, 0.715160, 0.072169])
-        for li, (ltype, lprim) in enumerate(lights_static):
-            inten = scene.light_intensity[li]
-            lum = jnp.sum(inten * lum_w)
-            if ltype == 1 and lprim >= 0:
-                r = scene.radii[lprim]
-                powers.append(lum * 4.0 * jnp.pi * r * r)
-                pos = scene.centers[lprim]
-            else:
-                powers.append(lum)
-                pos = scene.light_pos[li]
-            rows_l.append((pos, inten))
-        pw = jnp.stack(powers)
-        total = jnp.maximum(jnp.sum(pw), 1e-20)
-        sel = pw / total
-        cdf_lo = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(sel)[:-1]])
-        lights_tab = jnp.stack(
-            [
-                jnp.concatenate([pos, inten, cdf_lo[li, None], sel[li, None]])
-                for li, (pos, inten) in enumerate(rows_l)
-            ]
-        ).astype(jnp.float32)
-    else:
-        lights_tab = jnp.zeros((1, 8), jnp.float32)
+    lights_tab = pack_lights(scene)
     kernel = functools.partial(
         _trace_kernel,
         rows=tile_rows,
@@ -623,7 +583,7 @@ def pallas_render(
         in_specs=[
             pl.BlockSpec((n_prims, 12), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((16,), lambda i, *_: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((24,), lambda i, *_: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec(lights_tab.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -650,13 +610,76 @@ def pallas_render(
 
 
 def pack_camera(camera) -> Array:
-    """Pack the camera's ray-gen basis for SMEM (generate_rays semantics)."""
+    """Pack the camera's ray-gen basis for SMEM (generate_rays semantics).
+
+    Layout (24 f32): first_ray_dir[0:3], px_x[3:6], px_y[6:9], pos[9:12],
+    lens_radius[12], focal_distance[13], then the view axes u[14:17],
+    v[17:20], w[20:23] (needed for the in-kernel thin-lens DOF path),
+    pad[23]. Kernels that predate DOF read only the first 12 slots.
+    """
     return jnp.concatenate(
         [
             camera.first_ray_dir,
             camera.px_x,
             camera.px_y,
             camera.pos,
-            jnp.zeros((4,), jnp.float32),
+            camera.lens_radius[None],
+            camera.focal_distance[None],
+            camera.view[0],
+            camera.view[1],
+            camera.view[2],
+            jnp.zeros((1,), jnp.float32),
+        ]
+    ).astype(jnp.float32)
+
+
+def pack_prims(scene: Scene) -> Array:
+    """Per-prim SMEM table: cx cy cz r ax ay az coef mtype ex ey ez."""
+    attrs = prim_attrs(scene)
+    n_prims = int(scene.num_prims)
+    return jnp.concatenate(
+        [
+            scene.centers[:n_prims],
+            scene.radii[:n_prims, None],
+            attrs.albedo[:n_prims],
+            attrs.coef[:n_prims, None],
+            attrs.mtype[:n_prims, None].astype(jnp.float32),
+            attrs.emission[:n_prims],
+        ],
+        axis=1,
+    )
+
+
+def pack_lights(scene: Scene) -> Array:
+    """Light table for in-kernel NEE: pos3 intensity3 cdf_lo sel_pdf.
+
+    Power-proportional selection probabilities matching ops/lights.py
+    (the reference's dead Distribution1D, live — scene.h:150-170).
+    """
+    lights_static = tuple(scene.light_structure)
+    if not lights_static:
+        return jnp.zeros((1, 8), jnp.float32)
+    rows_l = []
+    powers = []
+    lum_w = jnp.asarray([0.212671, 0.715160, 0.072169])
+    for li, (ltype, lprim) in enumerate(lights_static):
+        inten = scene.light_intensity[li]
+        lum = jnp.sum(inten * lum_w)
+        if ltype == 1 and lprim >= 0:
+            r = scene.radii[lprim]
+            powers.append(lum * 4.0 * jnp.pi * r * r)
+            pos = scene.centers[lprim]
+        else:
+            powers.append(lum)
+            pos = scene.light_pos[li]
+        rows_l.append((pos, inten))
+    pw = jnp.stack(powers)
+    total = jnp.maximum(jnp.sum(pw), 1e-20)
+    sel = pw / total
+    cdf_lo = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(sel)[:-1]])
+    return jnp.stack(
+        [
+            jnp.concatenate([pos, inten, cdf_lo[li, None], sel[li, None]])
+            for li, (pos, inten) in enumerate(rows_l)
         ]
     ).astype(jnp.float32)
