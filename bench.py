@@ -11,6 +11,13 @@ own live lanes; dead wavefront lanes burn flops but are excluded). The
 baseline ratio is against the BASELINE.json north-star target of 5 Grays/s
 forward on one chip.
 
+Kernel under test: the persistent path-regeneration kernel
+(ops/pallas/persistent.py) — lane = pixel, dead lanes immediately start
+their pixel's next sample, path state carried across invocations in HBM,
+so occupancy is ~100% (vs ~42% for the round-1 per-sample unrolled
+kernel). Because every counted ray is a live path segment, rays/sec here
+is directly comparable with round 1's number.
+
 Measurement protocol (important in this environment — the TPU is behind a
 remote tunnel with ~30-60 ms round-trip latency and terminal-side
 memoization of repeated executions):
@@ -40,13 +47,17 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/tpupt_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from tpu_pathtracer.models import camera as cm, scene as sc
-from tpu_pathtracer.ops.pallas.trace_kernel import pallas_render, pack_camera
+from tpu_pathtracer.ops.pallas.persistent import (
+    init_state, persistent_step, state_image,
+)
+from tpu_pathtracer.ops.pallas.trace_kernel import pack_camera
 
 TARGET_RAYS_PER_SEC = 5e9  # BASELINE.json north star (1x v5p chip)
 
 WIDTH, HEIGHT, SPP, MAX_BOUNCES = 640, 480, 4, 10
 WARMUP, ITERS = 3, 30
 TILE_ROWS = 32  # best measured tile size on v5e
+BUDGET = 32  # wavefront iterations per persistent_step (best measured)
 
 
 def main() -> None:
@@ -60,19 +71,21 @@ def main() -> None:
 
     @partial(jax.jit, static_argnames=("k",))
     def frames(salt, k):
+        st0 = init_state(WIDTH, HEIGHT, TILE_ROWS)
+
         def body(carry, i):
-            acc, rays = carry
-            img, nr = pallas_render(
-                scene, cp, jnp.stack([salt, i, jnp.int32(7)]),
-                spp=SPP, width=WIDTH, height=HEIGHT,
+            st, rays = carry
+            st, nr = persistent_step(
+                scene, cp, jnp.stack([salt, i]), st,
+                budget=BUDGET, width=WIDTH, height=HEIGHT,
                 max_bounces=MAX_BOUNCES, tile_rows=TILE_ROWS,
             )
-            return (acc + img.mean(), rays + nr), None
-        init = (jnp.float32(0), jnp.int32(0))
-        (acc, rays), _ = jax.lax.scan(
-            body, init, jnp.arange(k, dtype=jnp.int32)
+            return (st, rays + nr), None
+
+        (st, rays), _ = jax.lax.scan(
+            body, (st0, jnp.int32(0)), jnp.arange(k, dtype=jnp.int32)
         )
-        return acc, rays
+        return state_image(st, WIDTH, HEIGHT).mean(), rays
 
     salt = jnp.int32((os.getpid() ^ time.time_ns()) & 0x0FFFFFFF)
 

@@ -37,6 +37,10 @@ def cmd_render(args: argparse.Namespace) -> int:
     import jax
     import numpy as np
 
+    # Persist compiles across runs (remote TPU compiles are minutes-slow).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpupt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from tpu_pathtracer.io.image import save_hdr, save_png
     from tpu_pathtracer.models import camera as cm
     from tpu_pathtracer.models.integrator import RenderConfig
@@ -59,32 +63,44 @@ def cmd_render(args: argparse.Namespace) -> int:
 
     meter = RenderMeter(w * h * args.spp)
     if backend == "pallas":
-        import jax.numpy as jnp
-
-        from tpu_pathtracer.ops.pallas.trace_kernel import (
-            pallas_render, pack_camera,
-        )
+        from tpu_pathtracer.models.progressive import PersistentRenderer
 
         if scene.mesh is not None:
             print("note: the pallas backend traces sphere scenes; "
                   "falling back to the XLA path for meshes", file=sys.stderr)
             args.backend = "xla"
             return cmd_render(args)
-        cp = pack_camera(camera)
-        acc = np.zeros((h, w, 3), np.float64)
-        for it in range(args.iterations):
+        # Persistent path-regeneration kernel: accumulation stays on-device
+        # in the carried PathState (ops/pallas/persistent.py); --iterations
+        # x --spp becomes the per-pixel completed-sample target.
+        r = PersistentRenderer(scene, camera, config, seed=args.seed)
+        target_spp = args.spp * args.iterations
+        if args.checkpoint_dir:
+            from tpu_pathtracer.utils import checkpoint as ckpt
+
+            if ckpt.latest_step(args.checkpoint_dir) is not None:
+                r.state = ckpt.restore_state(args.checkpoint_dir, r.state)
+                print(f"resumed at min {r.min_samples} samples/pixel",
+                      file=sys.stderr)
+        steps = 0
+        while r.min_samples < target_spp:
             t0 = time.perf_counter()
-            img, nrays = pallas_render(
-                scene, cp, jnp.asarray([args.seed, it, 7], jnp.int32),
-                spp=args.spp, width=w, height=h, max_bounces=args.bounces,
-                use_nee=args.nee,
-            )
-            img.block_until_ready()
-            meter.update(time.perf_counter() - t0, int(nrays))
-            acc += np.array(img, np.float64)
+            nrays = r.step()
+            meter.update(time.perf_counter() - t0, nrays)
+            steps += 1
             if not args.quiet:
-                print(f"\r{meter.status(it + 1)}", end="", file=sys.stderr)
-        hdr = (acc / args.iterations).astype(np.float32)
+                print(f"\r{meter.status(r.min_samples)}", end="",
+                      file=sys.stderr)
+            if args.checkpoint_dir and steps % args.checkpoint_every == 0:
+                from tpu_pathtracer.utils import checkpoint as ckpt
+
+                ckpt.save_state(args.checkpoint_dir, int(r.state.frame),
+                                r.state)
+        if args.checkpoint_dir:
+            from tpu_pathtracer.utils import checkpoint as ckpt
+
+            ckpt.save_state(args.checkpoint_dir, int(r.state.frame), r.state)
+        hdr = np.array(r.image())
     else:
         if scene.mesh is not None and jax.devices()[0].platform != "cpu":
             from tpu_pathtracer.models.scene import with_packet_mesh
@@ -228,7 +244,7 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--gamma", type=float, default=2.2)
     pr.add_argument("--checkpoint-dir",
                     help="orbax snapshot dir: resume an interrupted "
-                         "progressive render bit-exactly (xla backend)")
+                         "progressive render bit-exactly (both backends)")
     pr.add_argument("--checkpoint-every", type=int, default=8,
                     help="snapshot every N iterations")
     pr.add_argument("-o", "--output", help="PNG output path")

@@ -77,6 +77,142 @@ def image(state: AccumulatorState) -> Array:
     return state.radiance_sum / n
 
 
+class PersistentRenderer:
+    """Progressive renderer over the persistent path-regeneration kernel
+    (ops/pallas/persistent.py) — the fast path's analogue of
+    ProgressiveRenderer, with the same host-side surface (step / image /
+    iteration / update_camera-resets, reference main.cpp Display/Idle
+    semantics).
+
+    The kernel's PathState IS the progressive accumulator (per-pixel
+    radiance sums + completed-sample counts carried in HBM across steps),
+    so accumulation never leaves the device, checkpoints are the plain
+    pytree snapshot (utils/checkpoint), and a mesh shards the state rows
+    over chips with bit-identical results (parallel/persistent_sharded).
+
+    ``iteration`` reports min-completed-samples // spp: the count of
+    reference-equivalent frames (pathtracer.h:58) every pixel has finished.
+    """
+
+    def __init__(self, scene: Scene, camera: Camera, config: RenderConfig,
+                 seed: int = 0, *, budget: int = 32, tile_rows: int = 32,
+                 mesh=None, interpret: bool = False):
+        from tpu_pathtracer.ops.pallas.persistent import init_state
+        from tpu_pathtracer.ops.pallas.trace_kernel import pack_camera
+
+        if scene.mesh is not None:
+            raise ValueError(
+                "the persistent kernel traces sphere scenes; use "
+                "ProgressiveRenderer (packet mesh kernel) for meshes"
+            )
+        self.scene = scene
+        self.camera = camera
+        self.config = config
+        self.seed = seed
+        self.budget = budget
+        self.tile_rows = tile_rows
+        self.mesh = mesh
+        self.interpret = interpret
+        self._salt = 0
+        self._cp = pack_camera(camera)
+        if mesh is not None:
+            from tpu_pathtracer.parallel.persistent_sharded import (
+                init_state_sharded,
+            )
+
+            self.state = init_state_sharded(camera.width, camera.height,
+                                            mesh, tile_rows)
+        else:
+            self.state = init_state(camera.width, camera.height, tile_rows)
+
+    def step(self) -> int:
+        """Advance all lanes by ``budget`` wavefront iterations; returns
+        the number of live ray segments traced."""
+        import jax.numpy as jnp
+
+        from tpu_pathtracer.ops.pallas.persistent import persistent_step
+
+        seed = jnp.asarray([self.seed, self._salt], jnp.int32)
+        kw = dict(
+            budget=self.budget, width=self.camera.width,
+            height=self.camera.height,
+            max_bounces=self.config.max_bounces,
+            rr_start=self.config.rr_start, tile_rows=self.tile_rows,
+            use_nee=self.config.use_nee,
+            use_dof=self.camera.use_dof,
+            interpret=self.interpret,
+        )
+        if self.mesh is not None:
+            from tpu_pathtracer.parallel.persistent_sharded import (
+                persistent_step_sharded,
+            )
+
+            self.state, nrays = persistent_step_sharded(
+                self.scene, self._cp, seed, self.state, self.mesh, **kw
+            )
+        else:
+            self.state, nrays = persistent_step(
+                self.scene, self._cp, seed, self.state, **kw
+            )
+        return int(nrays)
+
+    def render_to(self, target_spp: int, max_steps: int = 10_000) -> int:
+        """Step until every pixel has >= target_spp completed samples
+        (adaptive: fast pixels keep sampling while slow ones catch up).
+        Returns total live rays traced."""
+        total = 0
+        for _ in range(max_steps):
+            total += self.step()
+            if self.min_samples >= target_spp:
+                break
+        return total
+
+    def image(self):
+        from tpu_pathtracer.ops.pallas.persistent import state_image
+
+        return state_image(self.state, self.camera.width, self.camera.height)
+
+    @property
+    def min_samples(self) -> int:
+        from tpu_pathtracer.ops.pallas.persistent import state_min_samples
+
+        return int(state_min_samples(self.state, self.camera.width,
+                                     self.camera.height))
+
+    @property
+    def iteration(self) -> int:
+        """Completed reference-equivalent frames (min samples // spp)."""
+        return self.min_samples // max(self.config.spp, 1)
+
+    def reset(self) -> None:
+        """Restart accumulation (pathtracer.cu:245 semantics). Bumps the
+        RNG salt so the restart draws fresh streams rather than replaying
+        the pre-reset paths."""
+        from tpu_pathtracer.ops.pallas.persistent import init_state
+
+        self._salt += 1
+        if self.mesh is not None:
+            from tpu_pathtracer.parallel.persistent_sharded import (
+                init_state_sharded,
+            )
+
+            self.state = init_state_sharded(
+                self.camera.width, self.camera.height, self.mesh,
+                self.tile_rows,
+            )
+        else:
+            self.state = init_state(self.camera.width, self.camera.height,
+                                    self.tile_rows)
+
+    def update_camera(self, camera: Camera) -> None:
+        """Camera motion restarts accumulation (main.cpp:209 semantics)."""
+        from tpu_pathtracer.ops.pallas.trace_kernel import pack_camera
+
+        self.camera = camera
+        self._cp = pack_camera(camera)
+        self.reset()
+
+
 class ProgressiveRenderer:
     """Convenience host-side driver mirroring the reference's app loop
     (main.cpp Display/Idle): step(), image(), and camera updates that reset

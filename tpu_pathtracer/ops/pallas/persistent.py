@@ -97,10 +97,15 @@ class PathState:
 N_LANE_ARRAYS = 19  # state fields above minus the scalar `frame`
 
 
-def init_state(width: int, height: int, tile_rows: int = 32) -> PathState:
+def init_state(width: int, height: int, tile_rows: int = 32,
+               tiles_multiple: int = 1) -> PathState:
+    """Fresh all-dead state. `tiles_multiple` rounds the tile count up so
+    the rows dimension divides evenly across that many shards (lanes in
+    padding tiles never activate — `in_domain` gates on width*height)."""
     n_lanes = width * height
     tile_lanes = tile_rows * LANES
     n_tiles = -(-n_lanes // tile_lanes)
+    n_tiles = -(-n_tiles // tiles_multiple) * tiles_multiple
     shape = (n_tiles * tile_rows, LANES)
     f = lambda: jnp.zeros(shape, jnp.float32)
     i = lambda: jnp.zeros(shape, jnp.int32)
@@ -610,7 +615,10 @@ def _persistent_kernel(
         prev_pdf = jnp.where(act, pdf, prev_pdf)
         new_delta = (is_s | is_t) if (spec_prims or trans_prims) \
             else jnp.zeros(shape, jnp.bool_)
-        prev_delta = jnp.where(act, new_delta, prev_delta)
+        # boolean algebra, not jnp.where: Mosaic cannot lower a vector
+        # select between i1 operands ("Unsupported target bitwidth for
+        # truncation")
+        prev_delta = (act & new_delta) | (~act & prev_delta)
         bounce = jnp.where(act, bounce + 1, bounce)
         alive = alive_next
 
@@ -640,8 +648,7 @@ _STATE_FIELDS = (
     jax.jit,
     static_argnames=(
         "budget", "width", "height", "max_bounces", "rr_start",
-        "tile_rows", "use_nee", "use_dof", "strat_k", "tile_offset",
-        "interpret",
+        "tile_rows", "use_nee", "use_dof", "strat_k", "interpret",
     ),
     donate_argnames=("state",),
 )
@@ -660,15 +667,16 @@ def persistent_step(
     use_nee: bool = False,
     use_dof: bool = False,
     strat_k: int = 2,
-    tile_offset: int = 0,
+    tile_offset: Array | int = 0,
     interpret: bool = False,
 ) -> tuple[PathState, Array]:
     """Advance every lane by `budget` wavefront iterations.
 
     Returns (new_state, live_rays_traced). Each completed path flushes into
     the per-pixel accumulators inside `state`; read the image with
-    `state_image`. `tile_offset` lets a shard of a sharded state run with
-    globally-consistent RNG streams and pixel coordinates.
+    `state_image`. `tile_offset` (traced) lets a shard of a sharded state
+    run with globally-consistent RNG streams and pixel coordinates —
+    parallel/persistent_sharded.py passes the shard's first global tile id.
     """
     prims = pack_prims(scene)
     n_prims = int(scene.num_prims)
@@ -721,14 +729,21 @@ def persistent_step(
         # Host-side uniforms (threefry), one block per (tile, iteration):
         # the Pallas interpreter stubs the TPU hardware PRNG to zeros, so
         # CPU-suite runs inject real randomness through a normal operand.
+        # Blocks are keyed by GLOBAL tile id (tile_offset + local tile), so
+        # a sharded interpret-mode run draws exactly what a single-device
+        # run would for the same global tile (mirrors _seed_streams).
         rkey = jax.random.fold_in(
             jax.random.fold_in(jax.random.key(0), seed[0] + 131 * seed[1]),
             state.frame,
         )
         blk = budget * n_draw * tile_rows
-        rng_inputs.append(
-            jax.random.uniform(rkey, (n_tiles * blk, LANES), jnp.float32)
-        )
+        gtiles = jnp.int32(tile_offset) + jnp.arange(n_tiles, dtype=jnp.int32)
+        blocks = jax.vmap(
+            lambda t: jax.random.uniform(
+                jax.random.fold_in(rkey, t), (blk, LANES), jnp.float32
+            )
+        )(gtiles)
+        rng_inputs.append(blocks.reshape(n_tiles * blk, LANES))
         rng_specs.append(
             pl.BlockSpec((blk, LANES), lambda i, *_: (i, 0))
         )
