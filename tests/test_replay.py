@@ -14,10 +14,11 @@ from tpu_pathtracer.models import camera as cm, scene as sc
 from tpu_pathtracer.models.integrator import RenderConfig, render
 
 
-def setup(name="cornell", w=12, h=10, spp=2, bounces=3):
+def setup(name="cornell", w=12, h=10, spp=2, bounces=3, nee=False):
     scene, cs = sc.BUILTIN_SCENES[name]()
     cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], w, h, cs["fov"])
-    cfg = RenderConfig(spp=spp, max_bounces=bounces, detach_sampling=True)
+    cfg = RenderConfig(spp=spp, max_bounces=bounces, detach_sampling=True,
+                       use_nee=nee)
     return scene, cam, cfg
 
 
@@ -37,9 +38,10 @@ def grads_replay(scene, cam, cfg, key, weights):
     return jax.grad(f)((scene.mat_color, scene.light_intensity))
 
 
-@pytest.mark.parametrize("bounces", [1, 3, 6])
-def test_replay_matches_autodiff(bounces):
-    scene, cam, cfg = setup(bounces=bounces)
+@pytest.mark.parametrize("bounces,nee", [(1, False), (3, False), (6, False),
+                                         (1, True), (3, True)])
+def test_replay_matches_autodiff(bounces, nee):
+    scene, cam, cfg = setup(bounces=bounces, nee=nee)
     key = jax.random.key(4)
     rng = np.random.default_rng(0)
     weights = jnp.asarray(
@@ -57,8 +59,9 @@ def test_replay_matches_autodiff(bounces):
     assert np.abs(np.array(gI_r)).max() > 0
 
 
-def test_replay_primal_matches_render():
-    scene, cam, cfg = setup(bounces=5)
+@pytest.mark.parametrize("nee", [False, True])
+def test_replay_primal_matches_render(nee):
+    scene, cam, cfg = setup(bounces=5, nee=nee)
     key = jax.random.key(7)
     a = np.array(render(scene, cam, key, cfg))
     b = np.array(render_replay(scene, cam, key, cfg))

@@ -25,6 +25,17 @@ The replay walks the identical path maintaining the prefix sum
 routes per-bounce adjoints to the tables with one-hot MXU contractions
 (no scatters).
 
+NEE (config.use_nee) is fully supported: the walk mirrors
+models/integrator.py's live NEE+MIS (same rng.light_uniforms stream, same
+power-proportional selection, same MIS weights), so the primal equals
+integrator.render in either mode. The NEE term at vertex k,
+NEE_k = T_k * (A_k/pi) * Le * G, is linear in BOTH the upstream albedos
+(through T_k, handled by the suffix recurrence) and A_k itself (the direct
+f factor), so the adjoint adds NEE_k/A_k at vertex k and folds NEE_k into
+the running prefix; MIS weights/pdfs are sampling quantities (detached).
+Emission adjoints divide the accumulated term by the light's intensity
+(both the emitter-hit and NEE terms are linear in I), guarded at 0.
+
 Scope: gradients w.r.t. scene.mat_color and scene.light_intensity — the
 inverse-rendering parameters (config 5) — for sphere-primitive hits (mesh
 hits are masked out of the adjoint; extend by routing mesh.material_id the
@@ -44,9 +55,9 @@ import numpy as np
 from jax import Array, lax
 
 from tpu_pathtracer.models.integrator import RenderConfig
-from tpu_pathtracer.models.scene import Scene, prim_attrs
-from tpu_pathtracer.ops import bsdf, vecmath as vm
-from tpu_pathtracer.ops.intersect import intersect
+from tpu_pathtracer.models.scene import EPSILON, Scene, prim_attrs
+from tpu_pathtracer.ops import bsdf, lights, sampling, vecmath as vm
+from tpu_pathtracer.ops.intersect import intersect, intersect_p
 from tpu_pathtracer.utils import rng
 
 
@@ -73,28 +84,47 @@ def _walk(scene: Scene, o: Array, d: Array, lane_ids: Array, it_key: Array,
     NL = scene.light_intensity.shape[0]
 
     hit0 = intersect(scene, attrs, o, d, tmin=config.tmin)
+    prev_pdf0 = o[:, 0] * 0.0
     carry0 = (
         jnp.zeros_like(o),  # L prefix
         jnp.ones_like(o),  # T
         hit0.hit,  # alive
         hit0,
         d,  # wo
+        prev_pdf0,  # MIS: pdf of the BSDF draw that produced this hit
+        prev_pdf0 <= 0.0,  # MIS: delta-lobe flag (primaries count as delta)
+        o,  # MIS: previous vertex position
         jnp.zeros((M, 3)),
         jnp.zeros((NL, 3)),
     )
 
     def body(carry, bounce):
-        L, T, alive, hit, wo, gA, gI = carry
+        L, T, alive, hit, wo, prev_pdf, prev_delta, prev_o, gA, gI = carry
         u = rng.bounce_uniforms(it_key, bounce, lane_ids)
 
         one_sided = vm.dot(hit.n, -wo) > 0.0
-        take = (alive & one_sided).astype(T.dtype)[:, None]
+        take_le = alive & one_sided
+        if config.use_nee:
+            # MIS against the light sampler (integrator.py's live weights).
+            is_light = ~vm.is_black(hit.emission)
+            lp = lights.light_dir_pdf(
+                scene, prev_o, wo, hit.center, hit.radius, is_light,
+                hit_prim=hit.prim,
+            )
+            w_emit = jnp.where(
+                prev_delta, 1.0,
+                sampling.power_heuristic(1.0, prev_pdf, 1.0, lp),
+            )
+        else:
+            w_emit = jnp.ones_like(prev_pdf)
+        take = (take_le.astype(T.dtype) * w_emit)[:, None]
         L = L + T * hit.emission * take
 
         is_sphere = hit.prim < P  # adjoints route through sphere tables only
 
         if adjoint:
-            # emission adjoint: T_b routed to the owning light's intensity.
+            # emission adjoint: the emitter-hit term is T*I*take (linear in
+            # the owning light's intensity) -> route T*take.
             lit = take * (
                 (~vm.is_black(hit.emission)) & is_sphere
             ).astype(T.dtype)[:, None]
@@ -102,6 +132,41 @@ def _walk(scene: Scene, o: Array, d: Array, lane_ids: Array, it_key: Array,
             lid = _mm(prim_hot, scene.light_id.astype(T.dtype)).astype(jnp.int32)
             light_hot = _hot(lid, NL, T.dtype)
             gI = gI + _mm(light_hot.T, g * T * lit)
+
+        # -- next-event estimation (same math + streams as integrator.py)
+        nee_term = jnp.zeros_like(T)
+        if config.use_nee:
+            ul = rng.light_uniforms(it_key, bounce, lane_ids)
+            ls = lights.sample_lights(scene, hit.p, ul, tmin=config.tmin)
+            f_l = bsdf.f(hit.mtype, hit.albedo, wo, ls.wi, hit.n)
+            pdf_b = bsdf.pdf(hit.mtype, wo, ls.wi, hit.n)
+            vis_tmax = ls.dist * (1.0 - 1e-3) - EPSILON
+            occluded = intersect_p(
+                scene, hit.p, ls.wi, tmin=config.tmin, tmax=vis_tmax
+            )
+            w_l = jnp.where(
+                ls.is_delta,
+                1.0,
+                sampling.power_heuristic(1.0, ls.pdf, 1.0, pdf_b),
+            )
+            cos_l = jnp.abs(vm.dot(ls.wi, hit.n))
+            take_nee = alive & ls.valid & ~occluded
+            nee_term = (
+                T * f_l * ls.radiance
+                * (cos_l * w_l / jnp.maximum(ls.pdf, 1e-20))[:, None]
+                * take_nee[:, None].astype(T.dtype)
+            )
+            L = L + nee_term
+            if adjoint:
+                # NEE is linear in the SELECTED light's intensity:
+                # nee_term = I * (rest) -> adjoint = g * nee_term / I.
+                li_hot = _hot(ls.index, NL, T.dtype)
+                I_l = _mm(li_hot, scene.light_intensity)
+                contrib_I = (
+                    g * nee_term / jnp.maximum(I_l, 1e-8)
+                    * is_sphere.astype(T.dtype)[:, None]
+                )
+                gI = gI + _mm(li_hot.T, contrib_I)
 
         f_val, wi, pdf = bsdf.sample(
             hit.mtype, hit.albedo, hit.coef, wo, hit.n, u[:, 0], u[:, 1]
@@ -116,14 +181,21 @@ def _walk(scene: Scene, o: Array, d: Array, lane_ids: Array, it_key: Array,
         if adjoint:
             # albedo adjoint: every lobe's f is linear in the material
             # color, so d w_k/dA = w_k/A and the factor's adjoint is the
-            # radiance it transports: suffix = L_total - L_prefix.
+            # radiance it transports: suffix = L_total - L_prefix (all
+            # emitter-hit and NEE terms accumulated at DEEPER vertices).
+            # The NEE term at THIS vertex depends on A directly through its
+            # f factor (A/pi), so it contributes nee_term/A in addition.
             suffix = L_total - L
             ok = (step_ok & is_sphere).astype(T.dtype)[:, None]
-            contrib_A = g * suffix / jnp.maximum(hit.albedo, 1e-8) * ok
+            nee_ok = (alive & is_sphere).astype(T.dtype)[:, None]
+            contrib_A = (
+                g * (suffix * ok + nee_term * nee_ok)
+                / jnp.maximum(hit.albedo, 1e-8)
+            )
             mid = _mm(_hot(hit.prim, P, T.dtype),
                       scene.material_id.astype(T.dtype)).astype(jnp.int32)
             # mesh lanes (prim >= P) produced all-zero prim_hot -> mid 0,
-            # but `ok` already masked them out.
+            # but the masks already zeroed them.
             mat_hot = _hot(mid, M, T.dtype)
             gA = gA + _mm(mat_hot.T, contrib_A)
 
@@ -139,10 +211,15 @@ def _walk(scene: Scene, o: Array, d: Array, lane_ids: Array, it_key: Array,
         alive = step_ok & rr_ok & (bounce < config.max_bounces)
         new_hit = intersect(scene, attrs, hit.p, wi, tmin=config.tmin)
         alive = alive & new_hit.hit
-        return (L, T, alive, new_hit, wi, gA, gI), None
+        new_prev_delta = bsdf.is_specular_type(hit.mtype)
+        return (
+            (L, T, alive, new_hit, wi, pdf, new_prev_delta, hit.p, gA, gI),
+            None,
+        )
 
     bounces = jnp.arange(config.max_bounces + 1)
-    (L, _, _, _, _, gA, gI), _ = lax.scan(body, carry0, bounces)
+    out, _ = lax.scan(body, carry0, bounces)
+    L, gA, gI = out[0], out[-2], out[-1]
     if adjoint:
         return gA, gI
     return L
@@ -161,8 +238,10 @@ def trace_replay(mat_color: Array, light_intensity: Array, scene: Scene,
                  o: Array, d: Array, config: RenderConfig,
                  lane_ids: Array, it_key: Array) -> Array:
     """Per-lane radiance (N,3), differentiable w.r.t. (mat_color,
-    light_intensity) via path replay. `scene`'s own tables are ignored in
-    favor of the explicit first two args."""
+    light_intensity) via path replay, in brute-force or NEE+MIS mode
+    (config.use_nee — same estimator and streams as integrator.trace).
+    `scene`'s own tables are ignored in favor of the explicit first two
+    args."""
     s = scene.replace(mat_color=mat_color, light_intensity=light_intensity)
     return _walk(s, o, d, lane_ids, it_key, config, adjoint=False)
 

@@ -43,6 +43,7 @@ class LightSample:
     dist: Array  # (N,) distance to the sampled point
     is_delta: Array  # (N,) bool — point lights (no MIS)
     valid: Array  # (N,) bool — a real light was sampled
+    index: Array  # (N,) int32 — which light was selected (adjoint routing)
 
 
 def sample_lights(
@@ -161,7 +162,7 @@ def sample_lights(
     valid = l_valid & (is_point | is_area) & (pdf > 0.0)
     return LightSample(
         radiance=radiance, wi=wi, pdf=pdf, dist=dist,
-        is_delta=is_point, valid=valid,
+        is_delta=is_point, valid=valid, index=li,
     )
 
 
