@@ -8,7 +8,10 @@ set (config 5). Two estimators:
   - ``replay``  : path-replay custom_vjp (diff/replay.py) — 2 walks
                   (primal + adjoint re-trace), O(1) memory;
   - ``autodiff``: plain autodiff through the bounce scan with remat
-                  (models/integrator.py).
+                  (models/integrator.py);
+  - ``kernel``  : fused value-and-grad Pallas kernel with a streaming
+                  adjoint (ops/pallas/replay_kernel.py) — loss AND both
+                  gradients in ONE walk (fwd+bwd ~= fwd cost).
 
 Ray counting is HONEST and comparable with bench.py: a "ray" is a live
 path segment actually traced. The fwd pass traces S segments; replay's
@@ -41,8 +44,58 @@ from tpu_pathtracer.models import camera as cm, scene as sc
 from tpu_pathtracer.models.integrator import RenderConfig, render
 
 
+def measure_kernel(width: int, height: int, spp: int, max_bounces: int,
+                   iters: int) -> tuple[float, float, int]:
+    """Fused fwd+bwd kernel: one walk = loss + grads. Segs counted by the
+    kernel's own live-lane counter (same honest definition as bench.py)."""
+    from tpu_pathtracer.ops.pallas.replay_kernel import mse_value_and_grad
+
+    scene, cs = sc.cornell_spheres()
+    camera = cm.make_camera(
+        cs["eye"], cs["look_at"], cs["up"], width, height, cs["fov"]
+    )
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    seed = jnp.asarray([7, 0], jnp.int32)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def grads(salt, k):
+        def body(acc, i):
+            loss, g, nrays = mse_value_and_grad(
+                scene, camera, seed, salt + i, target, spp=spp,
+                max_bounces=max_bounces,
+            )
+            return (acc[0] + loss, acc[1] + g["mat_color"].sum(),
+                    acc[2] + nrays), None
+
+        init = (jnp.float32(0), jnp.float32(0), jnp.int32(0))
+        (l, g, n), _ = jax.lax.scan(
+            body, init, jnp.arange(k, dtype=jnp.int32)
+        )
+        return l + g, n
+
+    salt = jnp.int32(time.time_ns() & 0x0FFFFFF)
+
+    def timed(k, s):
+        t0 = time.perf_counter()
+        out, n = grads(s, k)
+        float(out)
+        return time.perf_counter() - t0, int(n)
+
+    timed(1, salt + 1)
+    timed(iters, salt + 2)
+    t1, _ = timed(1, salt + 3)
+    tn, n_tot = timed(iters, salt + 4)
+    elapsed = max(tn - t1, 1e-9)
+    segs_per_grad = n_tot // iters
+    rays_per_sec = segs_per_grad * (iters - 1) / elapsed
+    ms = elapsed / (iters - 1) * 1e3
+    return rays_per_sec, ms, segs_per_grad
+
+
 def measure(width: int, height: int, spp: int, max_bounces: int,
             estimator: str, iters: int) -> tuple[float, float, int]:
+    if estimator == "kernel":
+        return measure_kernel(width, height, spp, max_bounces, iters)
     scene, cs = sc.cornell_spheres()
     camera = cm.make_camera(
         cs["eye"], cs["look_at"], cs["up"], width, height, cs["fov"]
@@ -104,7 +157,7 @@ def main() -> None:
     ap.add_argument("--spp", type=int, default=1)
     ap.add_argument("--bounces", type=int, default=10)
     ap.add_argument("--estimator", default="replay",
-                    choices=["replay", "autodiff"])
+                    choices=["replay", "autodiff", "kernel"])
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
     w, h = (int(x) for x in args.size.lower().split("x"))

@@ -161,6 +161,137 @@ def make_train_step(
     return train_step
 
 
+def kernel_loss_and_grads(
+    params: dict,
+    scene: Scene,
+    camera: Camera,
+    target: Array,  # (H, W, 3)
+    seed: Array,  # (2,) int32
+    iteration: Array | int,
+    *,
+    spp: int,
+    max_bounces: int = 10,
+    rr_start: int = 3,
+    tile_rows: int = 16,
+    use_nee: bool = False,
+    strat_k: int = 2,
+    mesh: jax.sharding.Mesh | None = None,
+    interpret: bool = False,
+) -> tuple[Array, dict]:
+    """MSE loss + gradients via the fused value-and-grad Pallas kernel
+    (ops/pallas/replay_kernel.py): loss AND both parameter gradients in
+    ONE path walk — no separate backward pass at all.
+
+    With a mesh, lane rows shard over the flattened (tile, sample) axes
+    exactly like the forward persistent kernel (global-tile RNG
+    addressing, parallel/persistent_sharded.py), and the per-tile
+    gradient partials psum across shards — sharded gradients are
+    bit-identical to single-device (sums of the same per-tile partials).
+    """
+    from tpu_pathtracer.ops.pallas.replay_kernel import (
+        broadcast_pixels_to_lanes, lanes_layout, replay_call,
+    )
+    from tpu_pathtracer.ops.pallas.trace_kernel import pack_camera
+
+    scene_p = apply_params(scene, params)
+    w, h = camera.width, camera.height
+    n_dev = mesh.devices.size if mesh is not None else 1
+    rows_total, _ = lanes_layout(w, h, spp, tile_rows, tiles_multiple=n_dev)
+    aux = broadcast_pixels_to_lanes(target, spp, rows_total)
+    cam_packed = pack_camera(camera)
+    call = partial(
+        replay_call,
+        spp=spp, width=w, height=h, max_bounces=max_bounces,
+        rr_start=rr_start, tile_rows=tile_rows, use_nee=use_nee,
+        use_dof=camera.use_dof, strat_k=strat_k, mode="mse",
+        interpret=interpret,
+    )
+    it = jnp.int32(iteration)
+
+    if mesh is None:
+        _, loss, gA_raw, gI_raw, _ = call(scene_p, cam_packed, seed, it, aux)
+    else:
+        tiles_local = (rows_total // tile_rows) // n_dev
+        axes = (TILE_AXIS, SAMPLE_AXIS)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(axes)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        def sharded(scene_rep, cp_rep, seed_rep, aux_block):
+            shard = (
+                jax.lax.axis_index(TILE_AXIS) * mesh.shape[SAMPLE_AXIS]
+                + jax.lax.axis_index(SAMPLE_AXIS)
+            )
+            _, l_p, gA_p, gI_p, _ = call(
+                scene_rep, cp_rep, seed_rep, it, aux_block,
+                tile_offset=shard * tiles_local,
+            )
+            return (
+                jax.lax.psum(l_p, axes),
+                jax.lax.psum(gA_p, axes),
+                jax.lax.psum(gI_p, axes),
+            )
+
+        loss, gA_raw, gI_raw = sharded(scene_p, cam_packed, seed, aux)
+
+    gI_full = jnp.zeros_like(scene_p.light_intensity)
+    gI_full = gI_full.at[: gI_raw.shape[0]].set(gI_raw)
+    grads = {
+        "mat_color": gA_raw / jnp.maximum(scene_p.mat_color, 1e-8),
+        "light_intensity": gI_full / jnp.maximum(
+            scene_p.light_intensity, 1e-8
+        ),
+    }
+    return loss, grads
+
+
+def make_kernel_train_step(
+    scene: Scene,
+    camera: Camera,
+    config: RenderConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    mesh: jax.sharding.Mesh | None = None,
+    fixed_iteration: int | None = None,
+    tile_rows: int = 16,
+    interpret: bool = False,
+):
+    """Fused-kernel analogue of make_train_step: each step is ONE kernel
+    walk (loss + grads), then the adam update — inverse rendering at
+    forward-render speed. Seeds derive from the step counter (or
+    fixed_iteration for same-seed optimization)."""
+
+    @jax.jit
+    def train_step(state: TrainState, target: Array,
+                   seed: Array) -> tuple[TrainState, Array]:
+        it = state.step if fixed_iteration is None else fixed_iteration
+        loss, grads = kernel_loss_and_grads(
+            state.params, scene, camera,
+            target.reshape(camera.height, camera.width, 3), seed, it,
+            spp=config.spp, max_bounces=config.max_bounces,
+            rr_start=config.rr_start, use_nee=config.use_nee,
+            tile_rows=tile_rows, mesh=mesh, interpret=interpret,
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = {
+            "mat_color": jnp.clip(params["mat_color"], 0.0, 1.0),
+            "light_intensity": jnp.maximum(params["light_intensity"], 0.0),
+        }
+        return (
+            TrainState(params=params, opt_state=opt_state,
+                       step=state.step + 1),
+            loss,
+        )
+
+    return train_step
+
+
 def render_target(
     scene: Scene, camera: Camera, key: Array, config: RenderConfig,
     n_iterations: int = 4, base_iteration: int = 1000,

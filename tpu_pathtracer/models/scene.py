@@ -71,6 +71,10 @@ class Scene:
     # prims, dielectric math skipped in glass-free scenes).
     emissive_prims: tuple = flax.struct.field(pytree_node=False, default=())
     prim_mtypes: tuple = flax.struct.field(pytree_node=False, default=())
+    # Static copy of material_id (which material slot each prim uses) for
+    # kernels that route per-material adjoints with unrolled masks.
+    prim_material_ids: tuple = flax.struct.field(pytree_node=False,
+                                                 default=())
     # ((light_type, prim_index_or_-1), ...) per light — static structure
     light_structure: tuple = flax.struct.field(pytree_node=False, default=())
 
@@ -264,6 +268,7 @@ def make_scene(
         prim_mtypes=tuple(
             int(materials[s["material"]]["type"]) for s in spheres
         ),
+        prim_material_ids=tuple(int(s["material"]) for s in spheres),
         light_structure=tuple(
             (int(l["type"]), int(l.get("prim", -1))) for l in lights
         ),
