@@ -155,3 +155,132 @@ def test_obj_loader(tmp_path):
     v, f, uv = meshes.load_obj(str(p))
     assert v.shape == (4, 3) and f.shape == (2, 3)
     np.testing.assert_allclose(uv[3], [1, 1])
+
+
+# ---------------------------------------------------------------------------
+# Packet-traversal Pallas kernel (interpret mode — runs in the CPU suite)
+
+
+def _packet_fixture():
+    v, f, uv = meshes.terrain(n=24, extent=40.0, height=8.0, seed=1)
+    mesh = build_bvh(v, f, uvs=uv, material_id=3, leaf_size=8)
+    from tpu_pathtracer.ops.pallas.mesh_kernel import pack_mesh
+
+    return mesh, pack_mesh(mesh)
+
+
+def test_packet_kernel_matches_xla_traversal():
+    """Interpret-mode packet walk == ops/triangle BVH traversal: same hit
+    t and triangle, and the kernel's in-slot attributes (normal from the
+    scalar cross, interpolated uv, material id) match the gathered ones."""
+    mesh, packed = _packet_fixture()
+    from tpu_pathtracer.ops.pallas.mesh_kernel import intersect_mesh_packet
+    from tpu_pathtracer.ops.triangle import intersect_mesh
+
+    rng = np.random.default_rng(0)
+    n = 700
+    o = jnp.asarray(
+        rng.uniform(-14, 14, (n, 3)).astype(np.float32) + [0, 25, 0]
+    )
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 1] -= 2.0  # bias downward at the terrain so most rays hit
+    d = jnp.asarray(d)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    ph = intersect_mesh_packet(packed, o, d, tmin=1e-3, interpret=True)
+    th = intersect_mesh(mesh, o, d, tmin=1e-3)
+
+    hit = np.asarray(th.t) < 1e29
+    assert hit.sum() > 300  # the fixture must actually exercise hits
+    np.testing.assert_allclose(
+        np.asarray(ph.t)[hit], np.asarray(th.t)[hit], rtol=1e-5
+    )
+    assert np.array_equal(np.asarray(ph.tri)[hit], np.asarray(th.tri)[hit])
+    # attributes: against the gathered references
+    tri = np.asarray(th.tri)[hit]
+    n_ref = np.asarray(mesh.n_geom)[tri]
+    np.testing.assert_allclose(
+        np.asarray(ph.n)[hit], n_ref, rtol=1e-4, atol=1e-5
+    )
+    uv_ref = (
+        np.asarray(mesh.uv0)[tri]
+        + np.asarray(th.u)[hit, None] * np.asarray(mesh.uv_e1)[tri]
+        + np.asarray(th.v)[hit, None] * np.asarray(mesh.uv_e2)[tri]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ph.uv)[hit], uv_ref, rtol=1e-4, atol=1e-5
+    )
+    assert np.all(np.asarray(ph.mat)[hit] == 3)
+    # misses report t == BIG
+    assert np.all(np.asarray(ph.t)[~hit] > 1e29)
+
+
+def test_packet_kernel_t_init_semantics():
+    """t_init prunes: hits at or beyond it are not reported (the caller's
+    sphere-pass distance), dead lanes (t_init <= 0) never hit, and a
+    shadow-style query (t_init = segment length) flags exactly the lanes
+    the full traversal would."""
+    mesh, packed = _packet_fixture()
+    from tpu_pathtracer.ops.pallas.mesh_kernel import intersect_mesh_packet
+
+    rng = np.random.default_rng(1)
+    n = 600
+    o = jnp.asarray(
+        rng.uniform(-14, 14, (n, 3)).astype(np.float32) + [0, 25, 0]
+    )
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 1] -= 1.0
+    d = jnp.asarray(d)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    full = intersect_mesh_packet(packed, o, d, tmin=1e-3, interpret=True)
+    t_full = np.asarray(full.t)
+
+    # clip: lanes whose true hit is beyond t_init come back at t_init
+    t_init = jnp.full((n,), 20.0, jnp.float32)
+    clipped = intersect_mesh_packet(
+        packed, o, d, tmin=1e-3, t_init=t_init, interpret=True
+    )
+    tc = np.asarray(clipped.t)
+    near = t_full < 20.0
+    np.testing.assert_allclose(tc[near], t_full[near], rtol=1e-5)
+    assert np.all(tc[~near] == 20.0)
+
+    # dead lanes: t_init = 0 -> BIG (never a hit), regardless of geometry
+    t_dead = jnp.where(jnp.arange(n) % 2 == 0, 0.0, 20.0)
+    half = intersect_mesh_packet(
+        packed, o, d, tmin=1e-3, t_init=t_dead, interpret=True
+    )
+    th_ = np.asarray(half.t)
+    assert np.all(th_[::2] > 1e29)
+    np.testing.assert_allclose(th_[1::2], tc[1::2], rtol=1e-5)
+
+
+def test_packet_path_full_render_matches_xla_path():
+    """End-to-end: a mesh scene rendered with the packet kernel (interpret)
+    equals the XLA-traversal render — the intersect-first integrator feeds
+    liveness and sphere-t pruning into the kernel without changing the
+    image."""
+    scene, cs = sc.cornell_boxes()
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 24, 18,
+                         cs["fov"])
+    cfg = RenderConfig(spp=2, max_bounces=3, use_nee=True)
+    img_xla = np.asarray(render_image(scene, cam, jax.random.key(3), cfg))
+
+    import tpu_pathtracer.ops.pallas.mesh_kernel as mk
+
+    orig = mk.intersect_mesh_packet
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    mk.intersect_mesh_packet = interp
+    try:
+        scene_p = sc.with_packet_mesh(scene)
+        img_pk = np.asarray(
+            render_image(scene_p, cam, jax.random.key(3), cfg)
+        )
+    finally:
+        mk.intersect_mesh_packet = orig
+    np.testing.assert_allclose(img_pk, img_xla, rtol=5e-4, atol=1e-5)

@@ -153,7 +153,11 @@ def _walk(scene: Scene, o: Array, d: Array, lane_ids: Array, it_key: Array,
             take_nee = alive & ls.valid & ~occluded
             nee_term = (
                 T * f_l * ls.radiance
-                * (cos_l * w_l / jnp.maximum(ls.pdf, 1e-20))[:, None]
+                * jnp.where(
+                    ls.pdf > 0.0,
+                    cos_l * w_l / jnp.where(ls.pdf > 0.0, ls.pdf, 1.0),
+                    0.0,
+                )[:, None]
                 * take_nee[:, None].astype(T.dtype)
             )
             L = L + nee_term
@@ -175,7 +179,13 @@ def _walk(scene: Scene, o: Array, d: Array, lane_ids: Array, it_key: Array,
         pdf = lax.stop_gradient(pdf)
         contrib_ok = ~vm.is_black(f_val) & (pdf > 0.0)
         cos_wi = jnp.abs(vm.dot(wi, hit.n))
-        weight = f_val * (cos_wi / jnp.maximum(pdf, 1e-20))[:, None]
+        # per-lobe closed form of f*cos/pdf (see integrator.py) — still
+        # linear in the material color, so the adjoint identity holds
+        weight = jnp.where(
+            bsdf.is_specular_type(hit.mtype)[:, None],
+            f_val * cos_wi[:, None],
+            hit.albedo,
+        )
         step_ok = alive & contrib_ok
 
         if adjoint:
@@ -209,11 +219,17 @@ def _walk(scene: Scene, o: Array, d: Array, lane_ids: Array, it_key: Array,
         rr_ok = jnp.logical_or(~do_rr, survive)
 
         alive = step_ok & rr_ok & (bounce < config.max_bounces)
-        new_hit = intersect(scene, attrs, hit.p, wi, tmin=config.tmin)
+        # park dead lanes on a finite ray (see integrator.py: their
+        # garbage state otherwise grows to overflow across bounces)
+        av = alive[:, None]
+        safe_o = jnp.where(av, hit.p, jnp.zeros_like(hit.p))
+        safe_d = jnp.where(av, wi, jnp.zeros_like(wi).at[:, 2].set(1.0))
+        new_hit = intersect(scene, attrs, safe_o, safe_d, tmin=config.tmin)
         alive = alive & new_hit.hit
         new_prev_delta = bsdf.is_specular_type(hit.mtype)
         return (
-            (L, T, alive, new_hit, wi, pdf, new_prev_delta, hit.p, gA, gI),
+            (L, T, alive, new_hit, safe_d, pdf, new_prev_delta, safe_o,
+             gA, gI),
             None,
         )
 

@@ -79,11 +79,8 @@ def trace(
     attrs = prim_attrs(scene)
     detach = config.detach_sampling
 
-    hit0 = intersect(scene, attrs, o, d, tmin=config.tmin)
-
     L0 = jnp.zeros_like(o)
     T0 = jnp.ones_like(o)
-    alive0 = hit0.hit  # miss before first bounce contributes nothing
     # MIS state: pdf of the BSDF sample that produced the current hit, and
     # whether it was a delta lobe (primary rays count as delta: full emitter
     # credit at bounce 0 — the reference's commented specularBounce logic,
@@ -91,11 +88,24 @@ def trace(
     # Derive from o (not fresh constants) so the values carry shard_map's
     # varying-axes tag and match the scan body's output types under pjit.
     prev_pdf0 = o[:, 0] * 0.0
-    prev_delta0 = prev_pdf0 <= 0.0  # all-True, varying
-    carry0 = (L0, T0, alive0, hit0, d, prev_pdf0, prev_delta0, o)
+    alive0 = prev_pdf0 <= 0.0  # all-True, varying
+    prev_delta0 = alive0
+    carry0 = (L0, T0, alive0, o, d, prev_pdf0, prev_delta0)
 
     def body(carry, bounce):
-        L, T, alive, hit, wo, prev_pdf, prev_delta, prev_o = carry
+        # Intersect-FIRST structure: the segment produced by the previous
+        # bounce (or the primary rays) is traced at the top, so the scan
+        # performs exactly max_bounces+1 scene traversals — the trailing
+        # never-shaded intersect of the hit-carrying formulation is gone
+        # (one whole BVH wave saved per frame on mesh scenes). Caller-dead
+        # lanes are passed to intersect, which lets the packet mesh kernel
+        # skip them (whole-tile skips at deep bounces under RR).
+        L, T, alive_in, prev_o, wo, prev_pdf, prev_delta = carry
+        hit = intersect(scene, attrs, prev_o, wo, tmin=config.tmin,
+                        alive=alive_in)
+        # Segments actually traced this bounce (honest rays/sec metric).
+        live_rays = jnp.sum(alive_in.astype(jnp.int32))
+        alive = alive_in & hit.hit
         u = rng.bounce_uniforms(it_key, bounce, lane_ids)
 
         # -- emitter-hit contribution (pathtracer.cu:134-137 + light.h:43-45)
@@ -134,7 +144,8 @@ def trace(
             # spheres), not enough to skip real occluders.
             vis_tmax = ls.dist * (1.0 - 1e-3) - EPSILON
             occluded = intersect_p(
-                scene, hit.p, ls.wi, tmin=config.tmin, tmax=vis_tmax
+                scene, hit.p, ls.wi, tmin=config.tmin, tmax=vis_tmax,
+                mask=alive & ls.valid,
             )
             w_l = jnp.where(
                 ls.is_delta,
@@ -146,7 +157,11 @@ def trace(
             contrib = (
                 f_l
                 * ls.radiance
-                * (cos_l * w_l / jnp.maximum(ls.pdf, 1e-20))[:, None]
+                * jnp.where(
+                    ls.pdf > 0.0,
+                    cos_l * w_l / jnp.where(ls.pdf > 0.0, ls.pdf, 1.0),
+                    0.0,
+                )[:, None]
             )
             L = L + T * contrib * take_nee[:, None].astype(T.dtype)
 
@@ -158,14 +173,30 @@ def trace(
         pdf = _maybe_detach(pdf, detach)
         contrib_ok = ~vm.is_black(f_val) & (pdf > 0.0)
         cos_wi = jnp.abs(vm.dot(wi, hit.n))
-        weight = f_val * (cos_wi / jnp.maximum(pdf, 1e-20))[:, None]
+        # Per-lobe CLOSED FORM of f*|wi.n|/pdf — no division:
+        #   diffuse    (albedo/pi)*cos / (cos/pi) = albedo
+        #   specular / transmissive: pdf = 1       -> f*cos
+        # The generic ratio is exact only analytically; numerically its
+        # backward blows up (-cos/pdf^2 -> inf at denormal grazing cos)
+        # and poisons attached-sampling gradients (tests/test_score.py).
+        # Masked lanes (pdf == 0) are excluded by step_ok as before.
+        weight = jnp.where(
+            bsdf.is_specular_type(hit.mtype)[:, None],
+            f_val * cos_wi[:, None],
+            hit.albedo,
+        )
         step_ok = alive & contrib_ok
         T = jnp.where(step_ok[:, None], T * weight, T)
 
         # -- Russian roulette (pathtracer.cu:152-159)
         do_rr = bounce > config.rr_start
-        p_cont = _maybe_detach(
-            jnp.minimum(0.5, vm.max_component(T)), detach
+        # RR is ALWAYS detached, even in attached-sampling mode: the
+        # continuation probability is a discrete decision's parameter (the
+        # documented estimator treats RR decisions as fixed), and an
+        # attached p_cont additionally leaks inf into the backward through
+        # the masked 1/p boost on near-dead lanes.
+        p_cont = lax.stop_gradient(
+            jnp.minimum(0.5, vm.max_component(T))
         )
         survive = u[:, 2] <= p_cont
         boost = step_ok & do_rr & survive & (p_cont > 0.0)
@@ -176,15 +207,24 @@ def trace(
 
         # -- termination + next segment (pathtracer.cu:160-168)
         alive = step_ok & rr_ok & (bounce < config.max_bounces)
-        # Rays the megakernel would actually trace this bounce = live lanes
-        # (dead lanes still compute here — the wavefront trade). Reported
-        # for honest rays/sec accounting in bench.py.
-        live_rays = jnp.sum(alive.astype(jnp.int32))
-        new_hit = intersect(scene, attrs, hit.p, wi, tmin=config.tmin)
-        alive = alive & new_hit.hit
         new_prev_delta = bsdf.is_specular_type(hit.mtype)
+        # Dead lanes park on a fixed finite ray instead of carrying their
+        # garbage state forward: a miss-lane normal (p-center)/r grows the
+        # ray coordinates exponentially bounce over bounce until f32
+        # overflow, and the resulting inf/NaN — though masked out of L —
+        # poisons gradients through the masked where-branches (the same
+        # hazard the Pallas replay kernel masks; found by
+        # tests/test_score.py at depth >= 5).
+        av = alive[:, None]
+        park_d = jnp.zeros_like(wi).at[:, 2].set(1.0)
+        safe_o = jnp.where(av, hit.p, jnp.zeros_like(hit.p))
+        safe_d = jnp.where(av, wi, park_d)
+        # The MIS-state pdf is a sampling quantity: detached in the carry
+        # even under attached sampling (the next bounce's power-heuristic
+        # weight must not be differentiated).
         return (
-            (L, T, alive, new_hit, wi, pdf, new_prev_delta, hit.p),
+            (L, T, alive, safe_o, safe_d, lax.stop_gradient(pdf),
+             new_prev_delta),
             live_rays,
         )
 
@@ -192,10 +232,28 @@ def trace(
         body = jax.checkpoint(body)
 
     bounces = jnp.arange(config.max_bounces + 1)
-    (L, *_), live_counts = lax.scan(body, carry0, bounces)
+    if config.detach_sampling:
+        (L, *_), live_counts = lax.scan(body, carry0, bounces)
+    else:
+        # Attached sampling unrolls the bounce loop: lax.scan's transpose
+        # materializes zero cotangents for every carry element and
+        # multiplies them against the full body Jacobian — whose masked
+        # branches contain inf/NaN partials at degenerate lanes (grazing
+        # Fresnel, near-zero pdfs). The unrolled loop lets reverse-mode
+        # keep those cotangents symbolically zero. Depth is <= ~10, so
+        # code size stays bounded; detached mode (the default, hot path)
+        # keeps the scan.
+        carry, ys = carry0, []
+        for b in range(config.max_bounces + 1):
+            carry, y = body(carry, bounces[b])
+            ys.append(y)
+        L = carry[0]
+        live_counts = jnp.stack(ys)
     if config.count_rays:
-        # primary rays + live secondary segments per bounce
-        return L, jnp.int32(o.shape[0]) + jnp.sum(live_counts)
+        # every traced segment, primaries included (counted at the top of
+        # each scan body — the bounce-b count IS the segments bounce b
+        # traces, so nothing wasted is counted and nothing traced is not)
+        return L, jnp.sum(live_counts)
     return L
 
 

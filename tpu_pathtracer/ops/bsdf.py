@@ -15,7 +15,7 @@ direction; `n` the outward geometric normal.
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import Array
+from jax import Array, lax
 
 from tpu_pathtracer.models.scene import DIFFUSE, SPECULAR, TRANSMISSIVE
 from tpu_pathtracer.ops import optics, sampling, vecmath as vm
@@ -98,7 +98,12 @@ def sample(
     n1 = jnp.where(entering, 1.0, ior)
     n2 = jnp.where(entering, ior, 1.0)
     nnor = jnp.where(entering[..., None], n, -n)
-    refl = optics.fresnel_reflectance(wo, nnor, n1, n2)
+    # The reflectance only gates the branch CHOICE (u1 < refl) — a
+    # comparison with no gradient — so detach it: at exact-grazing hits
+    # the Fresnel quotient is 0/0 in the TIR-masked branch and its NaN
+    # partial would otherwise leak through the bounce scan's transpose
+    # under attached sampling (diff/score.py).
+    refl = lax.stop_gradient(optics.fresnel_reflectance(wo, nnor, n1, n2))
     wi_t = jnp.where(
         (u1 < refl)[..., None],
         optics.reflect(wo, nnor),

@@ -89,12 +89,15 @@ def ray_sphere_t(
 
 
 def intersect_p(
-    scene: Scene, o: Array, d: Array, tmin: float = EPSILON, tmax: Array | float = BIG
+    scene: Scene, o: Array, d: Array, tmin: float = EPSILON,
+    tmax: Array | float = BIG, mask: Array | None = None,
 ) -> Array:
     """Any-hit shadow test (reference scene.h:101-108 IntersectP).
 
     tmax may be per-ray (N,) for visibility segments (light.h:23-32).
-    Returns (N,) bool: True if anything occludes.
+    Returns (N,) bool: True if anything occludes. mask (N,) bool,
+    optional: lanes whose answer the caller will discard — they report
+    occluded=True and the packet mesh kernel skips them.
     """
     tmax_arr = jnp.asarray(tmax)
     if tmax_arr.ndim == 0:
@@ -107,10 +110,18 @@ def intersect_p(
                 intersect_mesh_packet,
             )
 
-            tt, _, _, _ = intersect_mesh_packet(
-                scene.mesh_packed, o, d, tmin=tmin
+            # Walk from t_init = segment length: any found hit is an
+            # occluder, each one shrinks the packet's pruning bound, and
+            # already-occluded / masked lanes do no work.
+            t_init = tmax_arr
+            if mask is not None:
+                t_init = jnp.where(mask, t_init, 0.0)
+            ph = intersect_mesh_packet(
+                scene.mesh_packed, o, d, tmin=tmin, t_init=t_init
             )
-            occluded = occluded | (tt < tmax_arr)
+            occluded = occluded | (ph.t < tmax_arr)
+            if mask is not None:
+                occluded = occluded | ~mask
         else:
             from tpu_pathtracer.ops.triangle import intersect_mesh
 
@@ -128,12 +139,18 @@ def intersect(
     d: Array,
     tmin: float = EPSILON,
     tmax: float = BIG,
+    alive: Array | None = None,
 ) -> Hit:
     """Closest-hit query with gathered shading attributes.
 
     o, d: (N,3) ray origins/directions. Equivalent to scene.h:71-94 plus the
     attribute lookups the megakernel did through pointers
     (pathtracer.cu:126-129).
+
+    alive (N,) bool, optional: lanes known-dead by the caller (terminated
+    paths in a wavefront). Their results are arbitrary-but-finite; the
+    packet mesh kernel skips them entirely (whole tiles of dead lanes do
+    zero traversal work).
     """
     t_np = ray_sphere_t(scene, o, d, tmin=tmin, tmax=tmax)  # (N,P)
     t = jnp.min(t_np, axis=-1)
@@ -164,7 +181,7 @@ def intersect(
     if scene.mesh is not None:
         (t, idx, hit, p, n, center, radius, albedo, coef, mtype,
          emission) = _merge_mesh_hit(
-            scene, o, d, tmin,
+            scene, o, d, tmin, alive,
             t, idx, hit, p, n, center, radius, albedo, coef, mtype, emission,
         )
 
@@ -174,7 +191,7 @@ def intersect(
     )
 
 
-def _merge_mesh_hit(scene, o, d, tmin,
+def _merge_mesh_hit(scene, o, d, tmin, alive,
                     t, idx, hit, p, n, center, radius,
                     albedo, coef, mtype, emission):
     """Fold triangle-mesh hits into the sphere hit record (closest wins).
@@ -190,39 +207,49 @@ def _merge_mesh_hit(scene, o, d, tmin,
     if scene.mesh_packed is not None:
         from tpu_pathtracer.ops.pallas.mesh_kernel import intersect_mesh_packet
 
-        tt, tri, uu, vv = intersect_mesh_packet(
-            scene.mesh_packed, o, d, tmin=tmin
+        # The kernel walk starts from the sphere-pass t (prunes subtrees
+        # beyond it) and skips caller-dead lanes outright; it resolves
+        # normal / uv / material at the hit site — no jnp.take gathers.
+        t_init = jnp.where(hit, t, BIG)
+        if alive is not None:
+            t_init = jnp.where(alive, t_init, 0.0)
+        ph = intersect_mesh_packet(
+            scene.mesh_packed, o, d, tmin=tmin, t_init=t_init
         )
-        import flax.struct as _fs  # noqa: F401  (TriHit-compatible tuple)
-        from tpu_pathtracer.ops.triangle import TriHit
-
-        th = TriHit(t=tt, tri=tri, u=uu, v=vv)
+        closer = ph.t < t
+        tn = ph.n
+        tmat = ph.mat
+        th_t = ph.t
+        th_tri = ph.tri
+        uv = ph.uv
     else:
         from tpu_pathtracer.ops.triangle import intersect_mesh
 
         th = intersect_mesh(mesh, o, d, tmin=tmin)
-    closer = th.t < t
-
-    tn = jnp.take(mesh.n_geom, th.tri, axis=0)
-    tmat = jnp.take(mesh.material_id, th.tri, axis=0)
-    t_albedo = scene.mat_color[tmat]
-    t_coef = scene.mat_coef[tmat]
-    t_mtype = scene.mat_type[tmat]
-    if scene.textures is not None:
+        closer = th.t < t
+        tn = jnp.take(mesh.n_geom, th.tri, axis=0)
+        tmat = jnp.take(mesh.material_id, th.tri, axis=0)
+        th_t = th.t
+        th_tri = th.tri
         uv = (
             jnp.take(mesh.uv0, th.tri, axis=0)
             + th.u[:, None] * jnp.take(mesh.uv_e1, th.tri, axis=0)
             + th.v[:, None] * jnp.take(mesh.uv_e2, th.tri, axis=0)
         )
+
+    t_albedo = scene.mat_color[tmat]
+    t_coef = scene.mat_coef[tmat]
+    t_mtype = scene.mat_type[tmat]
+    if scene.textures is not None:
         tex_id = scene.mat_texture[tmat]
         tex_rgb = sample_bilinear(scene.textures, tex_id, uv)
         t_albedo = jnp.where((tex_id >= 0)[:, None], tex_rgb, t_albedo)
 
     cl = closer[:, None]
-    tp = o + d * jnp.where(th.t < 0.5 * BIG, th.t, 1.0)[:, None]
-    t_out = jnp.where(closer, th.t, t)
+    tp = o + d * jnp.where(th_t < 0.5 * BIG, th_t, 1.0)[:, None]
+    t_out = jnp.where(closer, th_t, t)
     # mesh prims live in a separate index space; offset past the spheres
-    idx_out = jnp.where(closer, scene.centers.shape[0] + th.tri, idx)
+    idx_out = jnp.where(closer, scene.centers.shape[0] + th_tri, idx)
     hit_out = hit | closer
     p_out = jnp.where(cl, tp, p)
     n_out = jnp.where(cl, tn, n)

@@ -9,16 +9,30 @@ lanes — no gathers at all. AABB and Möller-Trumbore tests are vectorized
 over the (rows, 128) lane tile; a subtree is descended iff ANY lane hits
 its box (classic ray-packet traversal).
 
-Trade: packets prune well for COHERENT rays (primary/shadow tiles);
-incoherent bounce packets degrade toward visiting the whole tree. Use for
-the coherent waves; direction-bucketed sorting is the planned extension.
+Round-2 upgrades (all aimed at the incoherent bounce/shadow waves that
+dominated the round-1 frame time):
+
+  - per-lane ``t_init``: the walk starts from the caller's best-known hit
+    distance (the sphere-pass t for closest-hit merges, the visibility
+    segment length for shadow rays) instead of +inf, so subtrees beyond
+    it are pruned — for shadow rays this makes the walk effectively
+    any-hit (the first found occluder shrinks t and prunes the rest);
+  - dead-lane masking: lanes with ``t_init <= 0`` never expand boxes, and
+    the pre-pass sorts them to the tail tiles; tiles with no live lane
+    skip the whole walk via a scalar-prefetched per-tile flag — at deep
+    bounces (RR kills most lanes) whole tiles drop out;
+  - in-kernel attribute resolution: each 16-float triangle slot carries
+    [v0 e1 e2 | mat uv0 uvE1 uvE2] and the kernel emits the geometric
+    normal (cross(e1,e2), normalized — bit-compatible with
+    MeshData.n_geom), the interpolated texture uv and the material id of
+    the winning hit, killing the post-traversal per-lane gathers
+    (the round-1 ops/intersect.py jnp.take chain).
 
 VMEM layout (the whole acceleration structure is VMEM-resident):
-  - nodes: (M, 16) f32 rows [min3 max3 skip start count pad...] — the
-    16-lane rows pad to 128 lanes in VMEM, so M*512 bytes;
-  - triangles: 8 per 128-lane row, 16 floats each [v0 e1 e2 pad]; leaf
-    starts are ALIGNED to 8 at pack time so a leaf is a contiguous row
-    block readable at a scalar row offset with STATIC lane offsets.
+  - nodes: (M, 16) f32 rows [min3 max3 skip start count pad...];
+  - triangles: 8 slots of 16 floats per 128-lane row; leaf starts ALIGNED
+    to 8 at pack time so a leaf is a contiguous row block readable at a
+    scalar row offset with STATIC lane offsets.
 
 Capacity on a ~13MB-usable v5e VMEM: ~100k triangles + ~10k nodes
 (leaf_size 32), i.e. exactly the config-4 scale.
@@ -54,22 +68,95 @@ class PackedMesh:
     num_nodes: int = flax.struct.field(pytree_node=False, default=0)
 
 
-def pack_mesh(mesh: MeshData) -> PackedMesh:
-    """Re-pack a built MeshData for packet traversal (leaf-aligned tris)."""
+def _collapse_subtrees(node_start, node_count, node_skip, node_min,
+                       node_max, collapse_leaf: int):
+    """Collapse every BVH subtree holding <= collapse_leaf triangles into
+    a single leaf node.
+
+    The build-side LEAF_SIZE (models/mesh.py, default 4) is right for the
+    XLA per-lane traversal, but the packet kernel keeps the WHOLE node
+    table VMEM-resident where each 16-float row pads to a 128-lane row
+    (512 B/node): at config-4 scale a leaf-4 tree is ~56k nodes = 28 MB —
+    past v5e VMEM. Packets also amortize triangle tests across 1024 lanes,
+    so fat leaves are the right operating point anyway. This keeps the
+    node table ~8x smaller and the walk ~8x shorter.
+
+    Works on the threaded-DFS arrays: node i's subtree is the contiguous
+    DFS range [i, skip_i), and the builder assigns leaf triangle ranges
+    left-to-right, so a subtree's triangles are the contiguous range
+    [first-leaf start, last-leaf start+count).
+    """
+    M = len(node_start)
+    pre = np.zeros(M + 1, np.int64)  # prefix sum of leaf counts over DFS
+    np.cumsum(node_count, out=pre[1:])
+    # first leaf triangle-start at or after each DFS position
+    first_start = np.full(M + 1, -1, np.int64)
+    nxt = -1
+    for i in range(M - 1, -1, -1):
+        if node_count[i] > 0:
+            nxt = node_start[i]
+        first_start[i] = nxt
+
+    sub_count = pre[node_skip] - pre[np.arange(M)]
+    keep_idx = []
+    out = []  # (min, max, old_skip, start, count)
+    old2new = np.full(M + 1, -1, np.int64)
+    i = 0
+    while i < M:
+        old2new[i] = len(out)
+        sc = sub_count[i]
+        if 0 < sc <= collapse_leaf:
+            out.append((node_min[i], node_max[i], node_skip[i],
+                        first_start[i], sc))
+            i = int(node_skip[i])  # whole subtree becomes this one leaf
+        else:
+            out.append((node_min[i], node_max[i], node_skip[i],
+                        node_start[i], node_count[i]))
+            i += 1
+    old2new[M] = len(out)
+    new_min = np.stack([o[0] for o in out])
+    new_max = np.stack([o[1] for o in out])
+    new_skip = old2new[np.asarray([o[2] for o in out], np.int64)]
+    assert (new_skip >= 0).all(), "collapsed skip target not emitted"
+    new_start = np.asarray([o[3] for o in out], np.int64)
+    new_count = np.asarray([o[4] for o in out], np.int64)
+    return new_start, new_count, new_skip, new_min, new_max
+
+
+def pack_mesh(mesh: MeshData, collapse_leaf: int = 32) -> PackedMesh:
+    """Re-pack a built MeshData for packet traversal (leaf-aligned tris).
+
+    Slot layout (16 f32): v0 xyz | e1 xyz | e2 xyz | material_id |
+    uv0 uv | uv_e1 uv | uv_e2 uv — geometry AND shading attributes, so
+    the kernel resolves everything at the hit site.
+
+    collapse_leaf: subtrees holding up to this many triangles fold into
+    one fat leaf (see _collapse_subtrees — VMEM capacity + packet
+    amortization).
+    """
     node_start = np.asarray(mesh.node_start)
     node_count = np.asarray(mesh.node_count)
     node_skip = np.asarray(mesh.node_skip)
     node_min = np.asarray(mesh.node_min)
     node_max = np.asarray(mesh.node_max)
+    if collapse_leaf and mesh.num_nodes:
+        (node_start, node_count, node_skip, node_min,
+         node_max) = _collapse_subtrees(
+            node_start, node_count, node_skip, node_min, node_max,
+            collapse_leaf,
+        )
     v0 = np.asarray(mesh.v0)
     e1 = np.asarray(mesh.e1)
     e2 = np.asarray(mesh.e2)
-    M = mesh.num_nodes
+    mat = np.asarray(mesh.material_id)
+    uv0 = np.asarray(mesh.uv0)
+    uve1 = np.asarray(mesh.uv_e1)
+    uve2 = np.asarray(mesh.uv_e2)
+    M = len(node_start)  # post-collapse node count
     leaf_size = int(node_count.max()) if M else 0
 
     new_start = np.zeros(M, np.int64)
     tri_blocks = []
-    remap = []
     cursor = 0
     for n in range(M):
         c = node_count[n]
@@ -86,9 +173,12 @@ def pack_mesh(mesh: MeshData) -> PackedMesh:
         cursor += c
     tri_ids = (np.concatenate(tri_blocks) if tri_blocks
                else np.zeros((0,), np.int64))
-    pad_tail = (-len(tri_ids)) % TRIS_PER_ROW
-    if pad_tail:
-        tri_ids = np.concatenate([tri_ids, np.full(pad_tail, -1, np.int64)])
+    # tail padding: row-align, plus one full leaf block so the kernel's
+    # fixed leaf_rows-row read never runs past the buffer for a leaf that
+    # starts near the end (reads are masked by `j < count` anyway)
+    leaf_rows_pad = max(1, -(-leaf_size // TRIS_PER_ROW)) * TRIS_PER_ROW
+    pad_tail = (-len(tri_ids)) % TRIS_PER_ROW + leaf_rows_pad
+    tri_ids = np.concatenate([tri_ids, np.full(pad_tail, -1, np.int64)])
     Tp = len(tri_ids)
 
     slots = np.zeros((Tp, TRI_STRIDE), np.float32)
@@ -97,6 +187,10 @@ def pack_mesh(mesh: MeshData) -> PackedMesh:
     slots[:, 0:3] = np.where(valid[:, None], v0[src], 0.0)
     slots[:, 3:6] = np.where(valid[:, None], e1[src], 0.0)
     slots[:, 6:9] = np.where(valid[:, None], e2[src], 0.0)
+    slots[:, 9] = np.where(valid, mat[src].astype(np.float32), 0.0)
+    slots[:, 10:12] = np.where(valid[:, None], uv0[src], 0.0)
+    slots[:, 12:14] = np.where(valid[:, None], uve1[src], 0.0)
+    slots[:, 14:16] = np.where(valid[:, None], uve2[src], 0.0)
     tri_rows = slots.reshape(Tp // TRIS_PER_ROW, TRIS_PER_ROW * TRI_STRIDE)
 
     nodes = np.zeros((M, 16), np.float32)
@@ -116,18 +210,23 @@ def pack_mesh(mesh: MeshData) -> PackedMesh:
 
 
 def _packet_kernel(
+    flags_ref,  # scalar prefetch: (n_tiles,) int32 — any live lane?
     nodes_ref,  # (M, 16) VMEM
     tris_ref,  # (R, 128) VMEM
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (rows, 128)
-    t_ref, idx_ref, u_ref, v_ref,  # outputs (rows, 128)
+    t0_ref,  # (rows, 128) per-lane start distance; <= 0 marks a dead lane
+    t_ref, idx_ref, nx_ref, ny_ref, nz_ref, tu_ref, tv_ref, mat_ref,
     *,
     rows: int,
     n_nodes: int,
     leaf_rows: int,
     tmin: float,
 ):
+    tile = pl.program_id(0)
     ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
     dx, dy, dz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
+    t0 = t0_ref[:, :]
+    live = t0 > 0.0
 
     def safe_inv(a):
         s = jnp.where(jnp.abs(a) > 1e-12, a, jnp.where(a >= 0, 1e-12, -1e-12))
@@ -135,10 +234,14 @@ def _packet_kernel(
 
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
-    t_ref[:, :] = jnp.full((rows, LANES), BIG, jnp.float32)
+    t_ref[:, :] = jnp.where(live, t0, 0.0)
     idx_ref[:, :] = jnp.zeros((rows, LANES), jnp.int32)
-    u_ref[:, :] = jnp.zeros((rows, LANES), jnp.float32)
-    v_ref[:, :] = jnp.zeros((rows, LANES), jnp.float32)
+    nx_ref[:, :] = jnp.zeros((rows, LANES), jnp.float32)
+    ny_ref[:, :] = jnp.zeros((rows, LANES), jnp.float32)
+    nz_ref[:, :] = jnp.zeros((rows, LANES), jnp.float32)
+    tu_ref[:, :] = jnp.zeros((rows, LANES), jnp.float32)
+    tv_ref[:, :] = jnp.zeros((rows, LANES), jnp.float32)
+    mat_ref[:, :] = jnp.zeros((rows, LANES), jnp.int32)
 
     def body(n):
         nd = nodes_ref[n]  # (16,) scalar row
@@ -157,7 +260,7 @@ def _packet_kernel(
             jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
             jnp.maximum(tz0, tz1),
         )
-        box_hit = (tn <= tf) & (tf > tmin) & (tn < t_cur)
+        box_hit = live & (tn <= tf) & (tf > tmin) & (tn < t_cur)
         any_hit = jnp.sum(box_hit.astype(jnp.int32)) > 0
 
         skip = nd[6].astype(jnp.int32)
@@ -171,8 +274,12 @@ def _packet_kernel(
             trs = tris_ref[pl.ds(base, leaf_rows), :]  # (leaf_rows, 128)
             t_best = t_ref[:, :]
             idx_b = idx_ref[:, :]
-            u_b = u_ref[:, :]
-            v_b = v_ref[:, :]
+            nx_b = nx_ref[:, :]
+            ny_b = ny_ref[:, :]
+            nz_b = nz_ref[:, :]
+            tu_b = tu_ref[:, :]
+            tv_b = tv_ref[:, :]
+            mat_b = mat_ref[:, :]
             for j in range(leaf_rows * TRIS_PER_ROW):
                 r = j // TRIS_PER_ROW
                 c0 = (j % TRIS_PER_ROW) * TRI_STRIDE
@@ -202,59 +309,128 @@ def _packet_kernel(
                 )
                 t_best = jnp.where(valid, tt, t_best)
                 idx_b = jnp.where(valid, start + j, idx_b)
-                u_b = jnp.where(valid, uu, u_b)
-                v_b = jnp.where(valid, vv, v_b)
+                # scalar geometric normal (cross of the scalar edges) and
+                # scalar-coefficient uv interpolation — the hit's shading
+                # attributes resolve here, no post-traversal gathers
+                gnx = e1y * e2z - e1z * e2y
+                gny = e1z * e2x - e1x * e2z
+                gnz = e1x * e2y - e1y * e2x
+                nx_b = jnp.where(valid, gnx, nx_b)
+                ny_b = jnp.where(valid, gny, ny_b)
+                nz_b = jnp.where(valid, gnz, nz_b)
+                tu_b = jnp.where(
+                    valid,
+                    trs[r, c0 + 10] + uu * trs[r, c0 + 12]
+                    + vv * trs[r, c0 + 14],
+                    tu_b,
+                )
+                tv_b = jnp.where(
+                    valid,
+                    trs[r, c0 + 11] + uu * trs[r, c0 + 13]
+                    + vv * trs[r, c0 + 15],
+                    tv_b,
+                )
+                mat_b = jnp.where(valid, trs[r, c0 + 9].astype(jnp.int32),
+                                  mat_b)
             t_ref[:, :] = t_best
             idx_ref[:, :] = idx_b
-            u_ref[:, :] = u_b
-            v_ref[:, :] = v_b
+            nx_ref[:, :] = nx_b
+            ny_ref[:, :] = ny_b
+            nz_ref[:, :] = nz_b
+            tu_ref[:, :] = tu_b
+            tv_ref[:, :] = tv_b
+            mat_ref[:, :] = mat_b
 
         descend = any_hit & ~is_leaf
         return jnp.where(descend, n + 1, skip)
 
-    lax.while_loop(lambda n: n < n_nodes, body, jnp.int32(0))
+    @pl.when(flags_ref[tile] != 0)
+    def _walk():
+        lax.while_loop(lambda n: n < n_nodes, body, jnp.int32(0))
+
+    # normalize the winning normal (n_geom convention, models/mesh.py)
+    nx, ny, nz = nx_ref[:, :], ny_ref[:, :], nz_ref[:, :]
+    inv_len = 1.0 / jnp.sqrt(
+        jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20)
+    )
+    nx_ref[:, :] = nx * inv_len
+    ny_ref[:, :] = ny * inv_len
+    nz_ref[:, :] = nz * inv_len
 
 
 @functools.partial(
     jax.jit, static_argnames=("rows_total", "tile_rows", "n_nodes",
-                              "leaf_rows", "tmin"),
+                              "leaf_rows", "tmin", "interpret"),
 )
-def _run_packet(nodes, tri_rows, o_planes, d_planes, rows_total, tile_rows,
-                n_nodes, leaf_rows, tmin):
-    grid = (rows_total // tile_rows,)
-    lane_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0))
-    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
+def _run_packet(flags, nodes, tri_rows, o_planes, d_planes, t0_plane,
+                rows_total, tile_rows, n_nodes, leaf_rows, tmin,
+                interpret=False):
+    lane_spec = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0))
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i, *_: (0, 0),
                                     memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _packet_kernel, rows=tile_rows, n_nodes=n_nodes,
         leaf_rows=leaf_rows, tmin=tmin,
     )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rows_total // tile_rows,),
+        in_specs=[full(nodes), full(tri_rows)]
+        + [lane_spec] * 7,
+        out_specs=[lane_spec] * 8,
+    )
+    f32 = jnp.float32
     return pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[full(nodes), full(tri_rows)] + [lane_spec] * 6,
-        out_specs=[lane_spec] * 4,
+        grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_total, LANES), f32),  # t
+            jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32),  # idx
+            jax.ShapeDtypeStruct((rows_total, LANES), f32),  # nx
+            jax.ShapeDtypeStruct((rows_total, LANES), f32),  # ny
+            jax.ShapeDtypeStruct((rows_total, LANES), f32),  # nz
+            jax.ShapeDtypeStruct((rows_total, LANES), f32),  # tex u
+            jax.ShapeDtypeStruct((rows_total, LANES), f32),  # tex v
+            jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32),  # mat
         ],
-    )(nodes, tri_rows, *o_planes, *d_planes)
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(flags, nodes, tri_rows, *o_planes, *d_planes, t0_plane)
+
+
+@flax.struct.dataclass
+class PacketHit:
+    """Closest-hit record with kernel-resolved shading attributes."""
+
+    t: Array  # (N,) BIG on miss
+    tri: Array  # (N,) original MeshData tri id (post-BVH-reorder)
+    n: Array  # (N, 3) geometric normal
+    uv: Array  # (N, 2) interpolated texture uv
+    mat: Array  # (N,) material id
 
 
 def intersect_mesh_packet(
     packed: PackedMesh, o: Array, d: Array, tmin: float,
     tile_rows: int = 8, sort: bool = True,
-):
-    """Packet-traversal closest hit. o, d: (N, 3). Returns (t, tri, u, v)
-    with `tri` in ORIGINAL MeshData order (post-BVH-reorder), t=BIG on miss.
+    t_init: Array | None = None,
+    interpret: bool = False,
+) -> PacketHit:
+    """Packet-traversal closest hit with in-kernel attribute resolution.
 
-    sort=True groups rays by direction octant + coarse origin cell before
-    tiling (results are un-permuted on return): incoherent bounce waves
-    otherwise make every packet visit the union of its lanes' subtrees.
+    o, d: (N, 3). t_init (N,), optional: per-lane starting hit distance —
+    the walk only finds hits strictly CLOSER than it (pass the sphere-pass
+    t to prune, or the shadow segment length for an occlusion query);
+    lanes with t_init <= 0 are dead and cost nothing. Returns a PacketHit
+    whose t equals t_init (or BIG) where no closer mesh hit exists.
+
+    sort=True groups live rays by direction octant + coarse origin cell
+    (dead lanes go LAST, so their tiles skip the whole walk) before
+    tiling; results are un-permuted on return.
     """
+    n = o.shape[0]
+    if t_init is None:
+        t_init = jnp.full((n,), BIG, jnp.float32)
     if sort:
+        live = t_init > 0.0
         oct_ = (
             (d[:, 0] < 0).astype(jnp.int32) * 4
             + (d[:, 1] < 0).astype(jnp.int32) * 2
@@ -267,35 +443,62 @@ def intersect_mesh_packet(
             0, 15,
         )
         cell = (q[:, 0] * 16 + q[:, 2]) * 16 + q[:, 1]
-        perm = jnp.argsort(oct_ * 4096 + cell)
+        key = oct_ * 4096 + cell
+        key = jnp.where(live, key, jnp.int32(1 << 20))  # dead lanes last
+        perm = jnp.argsort(key)
         inv = jnp.argsort(perm)
-        t, tri, uu, vv = intersect_mesh_packet(
+        hit = intersect_mesh_packet(
             packed, jnp.take(o, perm, axis=0), jnp.take(d, perm, axis=0),
             tmin, tile_rows=tile_rows, sort=False,
+            t_init=jnp.take(t_init, perm), interpret=interpret,
         )
-        return (jnp.take(t, inv), jnp.take(tri, inv),
-                jnp.take(uu, inv), jnp.take(vv, inv))
-    n = o.shape[0]
+        return PacketHit(
+            t=jnp.take(hit.t, inv),
+            tri=jnp.take(hit.tri, inv),
+            n=jnp.take(hit.n, inv, axis=0),
+            uv=jnp.take(hit.uv, inv, axis=0),
+            mat=jnp.take(hit.mat, inv),
+        )
     tile_lanes = tile_rows * LANES
     n_tiles = -(-n // tile_lanes)
     rows_total = n_tiles * tile_rows
     pad = rows_total * LANES - n
 
-    def plane(a):
-        return jnp.pad(a, (0, pad)).reshape(rows_total, LANES)
+    def plane(a, fill=0.0):
+        return jnp.pad(a, (0, pad), constant_values=fill).reshape(
+            rows_total, LANES
+        )
 
     o_planes = tuple(plane(o[:, i]) for i in range(3))
-    d_planes = tuple(plane(d[:, i]) for i in range(3))  # pad lanes sliced off
+    d_planes = tuple(plane(d[:, i]) for i in range(3))
+    t0_plane = plane(t_init, fill=0.0)  # pad lanes are dead
+    flags = jnp.any(
+        (t0_plane > 0.0).reshape(n_tiles, tile_rows * LANES), axis=1
+    ).astype(jnp.int32)
 
     leaf_rows = max(1, -(-packed.leaf_size // TRIS_PER_ROW))
-    t, idx, uu, vv = _run_packet(
-        packed.nodes, packed.tri_rows, o_planes, d_planes,
+    t, idx, nx, ny, nz, tu, tv, mat = _run_packet(
+        flags, packed.nodes, packed.tri_rows, o_planes, d_planes, t0_plane,
         rows_total, tile_rows, packed.num_nodes, leaf_rows, tmin,
+        interpret=interpret,
     )
-    t = t.reshape(-1)[:n]
-    idx = idx.reshape(-1)[:n]
-    uu = uu.reshape(-1)[:n]
-    vv = vv.reshape(-1)[:n]
-    hit = t < 0.5 * BIG
-    tri = jnp.where(hit, jnp.take(packed.remap, jnp.clip(idx, 0, packed.remap.shape[0] - 1)), 0)
-    return jnp.where(hit, t, BIG), tri, uu, vv
+
+    def unplane(a):
+        return a.reshape(-1)[:n]
+
+    t = unplane(t)
+    idx = unplane(idx)
+    # "found a mesh hit" == strictly closer than the start distance
+    found = t < jnp.where(t_init > 0.0, t_init, 0.0)
+    tri = jnp.where(
+        found,
+        jnp.take(packed.remap, jnp.clip(idx, 0, packed.remap.shape[0] - 1)),
+        0,
+    )
+    return PacketHit(
+        t=jnp.where(found, t, jnp.where(t_init > 0.0, t_init, BIG)),
+        tri=tri,
+        n=jnp.stack([unplane(nx), unplane(ny), unplane(nz)], axis=-1),
+        uv=jnp.stack([unplane(tu), unplane(tv)], axis=-1),
+        mat=unplane(mat),
+    )

@@ -12,6 +12,10 @@ truecolor half-block rendering; the input map is:
   r             reset accumulation     (reference Keyboard 'r')
   p             save PNG snapshot
   ESC / Ctrl-C  quit                   (reference Keyboard 27)
+  mouse drags   left = rotate, right = translate in the view XY plane,
+                middle = translate in the view XZ plane — the reference's
+                Mouse/Motion map (main.cpp:312-364), carried over xterm
+                SGR mouse reporting (ESC[?1002h button-drag tracking).
 
 Camera motion resets accumulation exactly like the reference
 (main.cpp:209 -> Pathtracer::Reset).
@@ -69,8 +73,25 @@ def _downsample(img: np.ndarray, tw: int, th: int) -> np.ndarray:
     )
 
 
+class MouseEvent:
+    """One SGR mouse report: button id, cell position, press/drag state."""
+
+    __slots__ = ("button", "x", "y", "down")
+
+    def __init__(self, button: int, x: int, y: int, down: bool):
+        self.button = button  # 0 left, 1 middle, 2 right
+        self.x = x
+        self.y = y
+        self.down = down  # False == release
+
+
 class _RawInput:
-    """Non-blocking raw keyboard reads (the GLUT callback substitute)."""
+    """Non-blocking raw keyboard + mouse reads (the GLUT callback
+    substitute). Mouse uses xterm button-drag tracking (ESC[?1002h) with
+    SGR encoding (ESC[?1006h): reports arrive as ESC[<b;x;yM / m."""
+
+    def __init__(self, mouse: bool = True):
+        self.mouse = mouse
 
     def __enter__(self):
         self.enabled = sys.stdin.isatty()
@@ -81,28 +102,79 @@ class _RawInput:
             self.fd = sys.stdin.fileno()
             self.old = termios.tcgetattr(self.fd)
             tty.setcbreak(self.fd)
+            if self.mouse:
+                sys.stdout.write("\x1b[?1002h\x1b[?1006h")
+                sys.stdout.flush()
         return self
 
     def __exit__(self, *exc):
         if self.enabled:
             import termios
 
+            if self.mouse:
+                sys.stdout.write("\x1b[?1006l\x1b[?1002l")
+                sys.stdout.flush()
             termios.tcsetattr(self.fd, termios.TCSADRAIN, self.old)
         return False
 
-    def poll(self) -> str | None:
+    def _read_sgr_mouse(self) -> MouseEvent | None:
+        """Parse the tail of ESC [ < b ; x ; y (M|m)."""
+        buf = ""
+        while select.select([sys.stdin], [], [], 0.01)[0]:
+            c = sys.stdin.read(1)
+            if c in "Mm":
+                try:
+                    b, x, y = (int(v) for v in buf.split(";"))
+                except ValueError:
+                    return None
+                return MouseEvent(b & 0b11, x, y, c == "M")
+            buf += c
+            if len(buf) > 16:
+                return None
+        return None
+
+    def poll(self) -> str | MouseEvent | None:
         if not self.enabled:
             return None
         if select.select([sys.stdin], [], [], 0)[0]:
             ch = sys.stdin.read(1)
-            if ch == "\x1b":  # possible arrow escape
+            if ch == "\x1b":  # escape sequence (arrow / mouse) or bare ESC
                 if select.select([sys.stdin], [], [], 0.01)[0]:
-                    seq = sys.stdin.read(2)
-                    return {"[A": "UP", "[B": "DOWN", "[C": "RIGHT",
-                            "[D": "LEFT"}.get(seq, None)
+                    c1 = sys.stdin.read(1)
+                    if c1 != "[":
+                        return None
+                    c2 = sys.stdin.read(1)
+                    if c2 == "<":
+                        return self._read_sgr_mouse()
+                    return {"A": "UP", "B": "DOWN", "C": "RIGHT",
+                            "D": "LEFT"}.get(c2, None)
                 return "ESC"
             return ch
         return None
+
+
+def drag_camera(camera, button: int, dx: int, dy: int, speed: float):
+    """Map a mouse-drag delta to a camera update, or None.
+
+    Reference Motion() semantics (main.cpp:312-364): left drag rotates,
+    right drag translates in the view XY plane, middle drag translates in
+    the view XZ plane. Deltas are in terminal cells (the analogue of the
+    reference's pixel deltas), scaled by the rotate/translate step sizes.
+    """
+    from tpu_pathtracer.models import camera as cm
+
+    if dx == 0 and dy == 0:
+        return None
+    if button == 0:  # left: rotate (main.cpp:330-338)
+        return cm.rotate(
+            camera,
+            [dx * CAM_ROTATE_DELTA * 0.5, -dy * CAM_ROTATE_DELTA * 0.5],
+        )
+    if button == 2:  # right: translate view-plane XY (main.cpp:340-350)
+        return cm.translate(camera, [dx * speed, dy * speed, 0.0])
+    if button == 1:  # middle: translate view XZ (main.cpp:352-362)
+        return cm.translate(camera, [dx * speed, 0.0, dy * speed])
+    return None
 
 
 def run_viewer(
@@ -144,9 +216,24 @@ def run_viewer(
         out.write("\x1b[H" + frame + "\x1b[0m\n")
         out.write(
             f"\x1b[K[{meter.status(r.iteration)}]  "
-            "arrows:rotate wasdqe:move r:reset p:png ESC:quit\r"
+            "arrows/drag:rotate wasdqe/r-drag:move r:reset p:png ESC:quit\r"
         )
         out.flush()
+
+    drag = {"pos": None}  # last (button, x, y) while a button is held
+
+    def mouse_camera(ev: MouseEvent):
+        """Track the drag anchor and produce the camera update."""
+        if not ev.down:
+            drag["pos"] = None
+            return None
+        last = drag["pos"]
+        drag["pos"] = (ev.button, ev.x, ev.y)
+        if last is None or last[0] != ev.button:
+            return None  # press or button change: establish the anchor
+        return drag_camera(
+            r.camera, ev.button, ev.x - last[1], ev.y - last[2], speed
+        )
 
     with _RawInput() as kb:
         if interactive:
@@ -166,6 +253,11 @@ def run_viewer(
             if key is None:
                 continue
             cam2 = None
+            if isinstance(key, MouseEvent):
+                cam2 = mouse_camera(key)
+                if cam2 is not None:
+                    r.update_camera(cam2)
+                continue
             if key == "ESC":
                 break
             elif key == "r":
