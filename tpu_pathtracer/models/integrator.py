@@ -120,6 +120,23 @@ def trace(
                 scene, prev_o, wo, hit.center, hit.radius, is_light,
                 hit_prim=hit.prim,
             )
+            if scene.has_tri_lights:
+                # TRI_LIGHT emitter hits: the light sampler's solid-angle
+                # pdf for this direction is t^2/cos_l * sel_pdf/A_total
+                # (area-to-solid-angle; tri_sel_over_area_by_mat). Detached
+                # like every MIS pdf; t clamped so miss lanes (t=BIG)
+                # cannot overflow f32 in the untaken where branch.
+                is_tri_hit = hit.prim >= scene.centers.shape[0]
+                fac = jnp.take(
+                    lights.tri_sel_over_area_by_mat(scene, lp.dtype),
+                    jnp.clip(hit.mat, 0, scene.mat_color.shape[0] - 1),
+                )
+                tt = jnp.minimum(hit.t, 1e6)
+                cos_l = jnp.abs(vm.dot(hit.n, wo))
+                lp_tri = tt * tt / jnp.maximum(cos_l, 1e-9) * fac
+                lp = jnp.where(
+                    is_tri_hit, lax.stop_gradient(lp_tri), lp
+                )
             w_emit = jnp.where(
                 prev_delta, 1.0, sampling.power_heuristic(1.0, prev_pdf, 1.0, lp)
             )

@@ -30,9 +30,11 @@ DIFFUSE = 0
 SPECULAR = 1
 TRANSMISSIVE = 2
 
-# Light types (reference light.h:34)
+# Light types (reference light.h:34; TRI_LIGHT is a superset capability —
+# the reference's light model only knows point + sphere-area, light.h:40-44)
 POINT_LIGHT = 0
 AREA_LIGHT = 1
+TRI_LIGHT = 2  # mesh-triangle area light: every triangle of a material emits
 
 # Reference globals.h:49 — shadow/self-intersection epsilon.
 EPSILON = 3e-2
@@ -90,6 +92,19 @@ class Scene:
     # the XLA gather traversal on coherent rays; forward-only — leave None
     # for differentiable-mesh or CPU runs).
     mesh_packed: Any = None
+
+    # Triangle-emitter area lights (TRI_LIGHT): per-light sampling tables,
+    # built host-side from the post-BVH-reorder mesh (make_scene). None for
+    # scenes without tri lights. Shapes: (L, K, ...) where K = padded max
+    # triangle count over the scene's tri lights.
+    light_mat: Any = None  # (L,) int32 — emissive material id (-1 = not tri)
+    tl_v0: Any = None  # (L, K, 3)
+    tl_e1: Any = None  # (L, K, 3)
+    tl_e2: Any = None  # (L, K, 3)
+    tl_n: Any = None  # (L, K, 3) unit geometric normal (emission side)
+    tl_cdf: Any = None  # (L, K) area-weighted triangle-selection CDF
+    tl_area: Any = None  # (L,) total emissive area (0 = not a tri light)
+    has_tri_lights: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 def with_packet_mesh(scene: "Scene") -> "Scene":
@@ -166,6 +181,15 @@ def area_light(prim: int, intensity: Sequence[float]) -> dict:
     return {"type": AREA_LIGHT, "prim": prim, "intensity": list(intensity)}
 
 
+def tri_light(material: int, intensity: Sequence[float]) -> dict:
+    """Triangle-mesh area light: every mesh triangle carrying `material`
+    emits `intensity` from its front (geometric-normal) side. Beyond the
+    reference's light model (light.h:40-44 knows only point + sphere-area);
+    lets real Cornell boxes use a ceiling quad as the emitter."""
+    return {"type": TRI_LIGHT, "material": material,
+            "intensity": list(intensity)}
+
+
 def make_scene(
     spheres: Sequence[dict],
     materials: Sequence[dict],
@@ -194,6 +218,19 @@ def make_scene(
             raise ValueError(
                 f"light {i}: area-light prim {l['prim']} out of range "
                 f"(have {n_p} primitives)")
+        if l["type"] == TRI_LIGHT:
+            if mesh is None:
+                raise ValueError(
+                    f"light {i}: TRI_LIGHT requires a mesh")
+            if not 0 <= l["material"] < n_m:
+                raise ValueError(
+                    f"light {i}: tri-light material {l['material']} out of "
+                    f"range (have {n_m} materials)")
+            if not bool(np.any(np.asarray(mesh.material_id)
+                               == l["material"])):
+                raise ValueError(
+                    f"light {i}: no mesh triangle uses material "
+                    f"{l['material']}")
     for i, s in enumerate(spheres):
         li = s.get("light", -1)
         if li >= n_l:
@@ -228,14 +265,20 @@ def make_scene(
     l_prim = np.full((L,), P - 1, np.int32)
     l_int = np.zeros((L, 3), np.float32)
     l_valid = np.zeros((L,), bool)
+    l_mat = np.full((L,), -1, np.int32)
     for i, l in enumerate(lights):
         l_type[i] = l["type"]
         l_valid[i] = True
         l_int[i] = l["intensity"]
         if l["type"] == POINT_LIGHT:
             l_pos[i] = l["pos"]
+        elif l["type"] == TRI_LIGHT:
+            l_mat[i] = l["material"]
         else:
             l_prim[i] = l["prim"]
+
+    # --- triangle-light sampling tables (host-side, post-BVH tri order) ---
+    tri_tabs = _build_tri_light_tables(mesh, l_type, l_mat, l_valid, L)
 
     mat_tex = np.full((M,), -1, np.int32)
     if mat_texture is not None:
@@ -275,6 +318,59 @@ def make_scene(
         mesh=mesh,
         textures=textures,
         mat_texture=jnp.asarray(mat_tex),
+        light_mat=jnp.asarray(l_mat),
+        **tri_tabs,
+    )
+
+
+def _build_tri_light_tables(mesh, l_type, l_mat, l_valid, L: int) -> dict:
+    """Per-light triangle sampling tables for TRI_LIGHT lights.
+
+    For each tri light, gathers the mesh triangles carrying its material
+    (post-BVH-reorder ids — MeshData.material_id follows the reordered
+    triangles, models/mesh.py), their unit front normals, and an
+    area-weighted selection CDF. All lights pad to a common K so the
+    tables are rectangular (L, K, ...); ops/lights.py samples them with
+    one-hot gathers."""
+    is_tri = (l_type == TRI_LIGHT) & l_valid
+    if mesh is None or not bool(is_tri.any()):
+        return dict(tl_v0=None, tl_e1=None, tl_e2=None, tl_n=None,
+                    tl_cdf=None, tl_area=None, has_tri_lights=False)
+    v0 = np.asarray(mesh.v0, np.float64)
+    e1 = np.asarray(mesh.e1, np.float64)
+    e2 = np.asarray(mesh.e2, np.float64)
+    mat = np.asarray(mesh.material_id)
+    per_light = [np.nonzero(mat == l_mat[i])[0] if is_tri[i]
+                 else np.zeros((0,), np.int64) for i in range(L)]
+    K = max(1, max(len(ids) for ids in per_light))
+    tv0 = np.zeros((L, K, 3), np.float32)
+    te1 = np.zeros((L, K, 3), np.float32)
+    te2 = np.zeros((L, K, 3), np.float32)
+    tn = np.zeros((L, K, 3), np.float32)
+    tcdf = np.ones((L, K), np.float32)  # padding: cdf saturated at 1
+    tarea = np.zeros((L,), np.float32)
+    for i, ids in enumerate(per_light):
+        k = len(ids)
+        if k == 0:
+            continue
+        cr = np.cross(e1[ids], e2[ids])
+        a = 0.5 * np.linalg.norm(cr, axis=-1)
+        total = float(a.sum())
+        if total <= 0.0:
+            raise ValueError(f"tri light {i}: degenerate emissive triangles")
+        tv0[i, :k] = v0[ids]
+        te1[i, :k] = e1[ids]
+        te2[i, :k] = e2[ids]
+        tn[i, :k] = cr / np.maximum(
+            np.linalg.norm(cr, axis=-1, keepdims=True), 1e-20)
+        tcdf[i, :k] = np.cumsum(a) / total
+        tcdf[i, k - 1:] = 1.0
+        tarea[i] = total
+    return dict(
+        tl_v0=jnp.asarray(tv0), tl_e1=jnp.asarray(te1),
+        tl_e2=jnp.asarray(te2), tl_n=jnp.asarray(tn),
+        tl_cdf=jnp.asarray(tcdf), tl_area=jnp.asarray(tarea),
+        has_tri_lights=True,
     )
 
 
@@ -404,6 +500,49 @@ def cornell_boxes() -> tuple[Scene, dict]:
     return make_scene(spheres, mats, lights, mesh=mesh), cam
 
 
+def cornell_quad() -> tuple[Scene, dict]:
+    """Cornell box lit by an EMISSIVE CEILING QUAD (TRI_LIGHT): the classic
+    Cornell configuration the reference could not express — its light model
+    only knows point + sphere-area emitters (light.h:40-44). Pure mesh
+    scene (no spheres at all); NEE samples the quad by area.
+    """
+    from tpu_pathtracer.models import meshes
+    from tpu_pathtracer.models.mesh import build_bvh
+
+    white, red, blue, emit = 0, 1, 2, 3
+    walls = [
+        (*meshes.quad([-50, 0, 80], [50, 0, 80], [50, 0, -80],
+                      [-50, 0, -80]), white),            # floor (+y)
+        (*meshes.quad([-50, 80, -80], [50, 80, -80], [50, 80, 80],
+                      [-50, 80, 80]), white),            # ceiling (-y)
+        (*meshes.quad([50, 0, -80], [50, 80, -80], [-50, 80, -80],
+                      [-50, 0, -80]), white),            # back (+z)
+        (*meshes.quad([-50, 0, 80], [-50, 80, 80], [50, 80, 80],
+                      [50, 0, 80]), white),              # front (-z)
+        (*meshes.quad([-50, 0, -80], [-50, 80, -80], [-50, 80, 80],
+                      [-50, 0, 80]), red),               # left (+x)
+        (*meshes.quad([50, 0, 80], [50, 80, 80], [50, 80, -80],
+                      [50, 0, -80]), blue),              # right (-x)
+        # light quad just below the ceiling, normal -y (faces the floor)
+        (*meshes.quad([-15, 79.5, -35], [15, 79.5, -35], [15, 79.5, -5],
+                      [-15, 79.5, -5]), emit),
+        (*meshes.box([-18, 30, -35], [30, 60, 30], rotation_y=0.3), white),
+        (*meshes.box([20, 14, -5], [28, 28, 28], rotation_y=-0.25), white),
+    ]
+    v, f, uv, m = meshes.merge(*walls)
+    mesh = build_bvh(v, f, uv, m)
+
+    mats = [
+        diffuse([0.75, 0.75, 0.75]),
+        diffuse([0.75, 0.25, 0.25]),
+        diffuse([0.25, 0.25, 0.75]),
+        diffuse([0.0, 0.0, 0.0]),  # emitter surface: pure emitter, no BSDF
+    ]
+    lights = [tri_light(emit, [34.0, 34.0, 34.0])]
+    cam = dict(eye=[0, 45, 79.0], look_at=[0, 35, 0], up=[0, 1, 0], fov=60.0)
+    return make_scene([], mats, lights, mesh=mesh), cam
+
+
 def terrain_textured(n: int = 224) -> tuple[Scene, dict]:
     """BASELINE config 4: textured triangle-mesh scene (~100k tris at the
     default n=224) under a sphere sky-light, checker-textured ground."""
@@ -426,11 +565,39 @@ def terrain_textured(n: int = 224) -> tuple[Scene, dict]:
     )
 
 
+def sphere_field(n: int = 128, seed: int = 7) -> tuple["Scene", dict]:
+    """n-sphere stress scene: a floor, an emitter, and a deterministic
+    pseudo-random field of diffuse/mirror/glass balls. Exercises kernel
+    scaling past toy prim counts (the reference never leaves 9 spheres,
+    main.cpp:152-164; this answers "does the fused path survive 100+").
+    """
+    import numpy as np
+
+    rng_ = np.random.default_rng(seed)
+    e5 = 1e5
+    spheres = [
+        sphere([0, -e5, 0], e5, 3),  # floor
+        sphere([0, 90.0, 0], 30.0, 1, 0),  # emitter overhead
+    ]
+    n_field = n - len(spheres)
+    pos = rng_.uniform([-45, 2, -45], [45, 14, 45], (n_field, 3))
+    rad = rng_.uniform(1.0, 3.5, n_field)
+    mat = rng_.choice([0, 2, 3, 4, 5], size=n_field,
+                      p=[0.3, 0.25, 0.25, 0.1, 0.1])
+    for p, r, m in zip(pos, rad, mat):
+        spheres.append(sphere(p.tolist(), float(r), int(m)))
+    lights = [area_light(1, [14.0, 14.0, 14.0])]
+    cam = dict(eye=[0, 26, 95], look_at=[0, 8, 0], up=[0, 1, 0], fov=55.0)
+    return make_scene(spheres, reference_materials(), lights), cam
+
+
 BUILTIN_SCENES = {
     "cornell": cornell_spheres,
     "cornell-glass": cornell_glass,
     "small": small_spheres,
     "single-sphere": single_sphere,
     "cornell-boxes": cornell_boxes,
+    "cornell-quad": cornell_quad,
     "terrain": terrain_textured,
+    "sphere-field": sphere_field,
 }

@@ -57,6 +57,7 @@ class Hit:
     coef: Array  # (N,) material coefficient (specular scale / IOR)
     mtype: Array  # (N,) int32 material type
     emission: Array  # (N, 3) emitted radiance of the hit prim
+    mat: Array  # (N,) int32 material id (tri-light MIS routing)
 
 
 def ray_sphere_t(
@@ -169,6 +170,7 @@ def intersect(
     emission = _mm(one_hot, attrs.emission)
     coef = _mm(one_hot, attrs.coef)
     mtype = _mm(one_hot, attrs.mtype.astype(o.dtype)).astype(jnp.int32)
+    mat = _mm(one_hot, scene.material_id.astype(o.dtype)).astype(jnp.int32)
 
     # Miss lanes get a unit-distance dummy point instead of o + d*BIG: the
     # huge coordinate would overflow (inf) in downstream distance math and
@@ -180,26 +182,28 @@ def intersect(
 
     if scene.mesh is not None:
         (t, idx, hit, p, n, center, radius, albedo, coef, mtype,
-         emission) = _merge_mesh_hit(
+         emission, mat) = _merge_mesh_hit(
             scene, o, d, tmin, alive,
             t, idx, hit, p, n, center, radius, albedo, coef, mtype, emission,
+            mat,
         )
 
     return Hit(
         t=t, prim=idx, hit=hit, p=p, n=n, center=center, radius=radius,
-        albedo=albedo, coef=coef, mtype=mtype, emission=emission,
+        albedo=albedo, coef=coef, mtype=mtype, emission=emission, mat=mat,
     )
 
 
 def _merge_mesh_hit(scene, o, d, tmin, alive,
                     t, idx, hit, p, n, center, radius,
-                    albedo, coef, mtype, emission):
+                    albedo, coef, mtype, emission, mat):
     """Fold triangle-mesh hits into the sphere hit record (closest wins).
 
     Triangle shading attributes come from the material tables via the
     per-triangle material id; textured materials resolve albedo through the
-    texture atlas (config 4). Triangles carry no emission (area lights stay
-    sphere-backed, like the reference's light model, light.h:40-44).
+    texture atlas (config 4). Triangles whose material backs a TRI_LIGHT
+    emit that light's intensity from their front face (a superset of the
+    reference's sphere-only light model, light.h:40-44).
     """
     from tpu_pathtracer.ops.texture import sample_bilinear
 
@@ -258,6 +262,22 @@ def _merge_mesh_hit(scene, o, d, tmin, alive,
     albedo_out = jnp.where(cl, t_albedo, albedo)
     coef_out = jnp.where(closer, t_coef, coef)
     mtype_out = jnp.where(closer, t_mtype, mtype)
-    emission_out = jnp.where(cl, 0.0, emission)
+    mat_out = jnp.where(closer, tmat, mat)
+    if scene.has_tri_lights:
+        # emission-by-material map, differentiable w.r.t. light_intensity
+        # (inverse rendering of emitter power works on tri lights too)
+        from tpu_pathtracer.models.scene import TRI_LIGHT
+
+        is_tl = ((scene.light_type == TRI_LIGHT)
+                 & scene.light_valid)[:, None].astype(emission.dtype)
+        M = scene.mat_color.shape[0]
+        lm = jnp.clip(scene.light_mat, 0, M - 1)
+        em_by_mat = jnp.zeros((M, 3), emission.dtype).at[lm].add(
+            scene.light_intensity * is_tl
+        )
+        t_emission = em_by_mat[tmat]
+    else:
+        t_emission = jnp.zeros_like(emission)
+    emission_out = jnp.where(cl, t_emission, emission)
     return (t_out, idx_out, hit_out, p_out, n_out, center_out, radius_out,
-            albedo_out, coef_out, mtype_out, emission_out)
+            albedo_out, coef_out, mtype_out, emission_out, mat_out)

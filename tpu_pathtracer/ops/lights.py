@@ -25,12 +25,41 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from tpu_pathtracer.models.scene import AREA_LIGHT, EPSILON, POINT_LIGHT, Scene
+from tpu_pathtracer.models.scene import (
+    AREA_LIGHT, EPSILON, POINT_LIGHT, TRI_LIGHT, Scene,
+)
 from tpu_pathtracer.ops import sampling, vecmath as vm
 
 
 def _mm(a: Array, b: Array) -> Array:
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def light_selection_dist(scene: Scene) -> tuple[Array, Array]:
+    """Power-proportional light-selection distribution (cdf, pdfs).
+
+    Shared by the sampler (sample_lights) and every MIS counterweight
+    (light_dir_pdf / tri_sel_over_area_by_mat) — they MUST agree for MIS
+    to stay unbiased. Live use of the reference's dead Distribution1D
+    (montecarlo.h:28-74); power = luminance x surface area for area
+    lights (sphere or triangle), luminance for point lights. Detached:
+    a sampling decision, like the BSDF draws."""
+    L = scene.light_type.shape[0]
+    P0 = scene.centers.shape[0]
+    lp_hot = (
+        jax.lax.broadcasted_iota(jnp.int32, (L, P0), 1)
+        == scene.light_prim[:, None]
+    ).astype(scene.light_intensity.dtype)
+    l_radius = _mm(lp_hot, scene.radii)  # (L,)
+    lum = vm.luminance(scene.light_intensity)
+    w = jnp.where(
+        scene.light_type == AREA_LIGHT,
+        4.0 * jnp.pi * l_radius * l_radius, 1.0,
+    )
+    if scene.has_tri_lights:
+        w = jnp.where(scene.light_type == TRI_LIGHT, scene.tl_area, w)
+    power = lum * w * scene.light_valid
+    return sampling.make_distribution_1d(jax.lax.stop_gradient(power))
 
 
 @flax.struct.dataclass
@@ -60,24 +89,8 @@ def sample_lights(
     L = scene.light_type.shape[0]
     n = p.shape[0]
 
-    # --- power-proportional light selection --------------------------------
-    # Live use of the reference's dead Distribution1D (montecarlo.h:28-74):
-    # lights are chosen with probability proportional to emitted power
-    # (luminance x surface area for area lights), detached from autodiff
-    # (a sampling decision, like the BSDF draws).
-    P0 = scene.centers.shape[0]
-    lp_hot = (
-        jax.lax.broadcasted_iota(jnp.int32, (L, P0), 1)
-        == scene.light_prim[:, None]
-    ).astype(p.dtype)
-    l_radius = _mm(lp_hot, scene.radii)  # (L,)
-    lum = vm.luminance(scene.light_intensity)
-    area_w = 4.0 * jnp.pi * l_radius * l_radius
-    power = lum * jnp.where(scene.light_type == AREA_LIGHT, area_w, 1.0)
-    power = power * scene.light_valid
-    cdf, sel_pdfs = sampling.make_distribution_1d(
-        jax.lax.stop_gradient(power)
-    )
+    # --- power-proportional light selection (light_selection_dist) ---------
+    cdf, sel_pdfs = light_selection_dist(scene)
     li, sel_pdf = sampling.sample_distribution_1d(cdf, sel_pdfs, u[:, 2])
     one_hot = (
         jax.lax.broadcasted_iota(jnp.int32, (n, L), 1) == li[:, None]
@@ -150,6 +163,13 @@ def sample_lights(
     front = vm.dot(ns, -wi_area) > 0.0
     rad_area = l_int * front[:, None]
 
+    # --- triangle-light branch (TRI_LIGHT; beyond the reference's model) ---
+    is_tri = l_type == TRI_LIGHT
+    if scene.has_tri_lights:
+        (wi_tri, rad_tri, pdf_tri, dist_tri, valid_tri) = _sample_tri_light(
+            scene, p, u, one_hot, l_int, tmin,
+        )
+
     # --- select branch ------------------------------------------------------
     is_point = l_type == POINT_LIGHT
     is_area = l_type == AREA_LIGHT
@@ -157,13 +177,80 @@ def sample_lights(
     wi = jnp.where(is_point[:, None], wi_point, wi_area)
     # pdf includes the (power-proportional) selection probability: the
     # estimator divides by pdf_dir * P(select this light).
-    pdf = jnp.where(is_point, 1.0, pdf_area) * sel_pdf
+    pdf = jnp.where(is_point, 1.0, pdf_area)
     dist = jnp.where(is_point, dist_point, dist_area)
-    valid = l_valid & (is_point | is_area) & (pdf > 0.0)
+    branch_ok = is_point | is_area
+    if scene.has_tri_lights:
+        radiance = jnp.where(is_tri[:, None], rad_tri, radiance)
+        wi = jnp.where(is_tri[:, None], wi_tri, wi)
+        pdf = jnp.where(is_tri, pdf_tri, pdf)
+        dist = jnp.where(is_tri, dist_tri, dist)
+        branch_ok = branch_ok | (is_tri & valid_tri)
+    pdf = pdf * sel_pdf
+    valid = l_valid & branch_ok & (pdf > 0.0)
     return LightSample(
         radiance=radiance, wi=wi, pdf=pdf, dist=dist,
         is_delta=is_point, valid=valid, index=li,
     )
+
+
+def _sample_tri_light(
+    scene: Scene, p: Array, u: Array, one_hot: Array, l_int: Array,
+    tmin: float,
+) -> tuple[Array, Array, Array, Array, Array]:
+    """Sample a point on the selected TRI_LIGHT, per lane.
+
+    one_hot: (N, L) selector of the chosen light. Triangle choice is
+    area-weighted via the per-light cdf with u[:,0] re-uniformized within
+    the chosen cdf segment (the standard Distribution1D remap), then a
+    uniform point via the sqrt warp. The solid-angle pdf of the sampled
+    direction is d^2 / (cos_l * A_total) — area-weighted triangle
+    selection cancels the per-triangle area.
+    """
+    n = p.shape[0]
+    L, K = scene.tl_cdf.shape
+    dt = p.dtype
+    # per-lane tables of the selected light
+    cdf = _mm(one_hot, scene.tl_cdf)  # (N, K)
+    v0 = _mm(one_hot, scene.tl_v0.reshape(L, K * 3)).reshape(n, K, 3)
+    e1 = _mm(one_hot, scene.tl_e1.reshape(L, K * 3)).reshape(n, K, 3)
+    e2 = _mm(one_hot, scene.tl_e2.reshape(L, K * 3)).reshape(n, K, 3)
+    nrm = _mm(one_hot, scene.tl_n.reshape(L, K * 3)).reshape(n, K, 3)
+    area = _mm(one_hot, scene.tl_area)  # (N,)
+
+    u0 = u[:, 0]
+    k = jnp.sum((u0[:, None] > cdf).astype(jnp.int32), axis=-1)
+    k = jnp.clip(k, 0, K - 1)
+    hot_k = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, K), 1) == k[:, None]
+    ).astype(dt)
+    cdf_prev = jnp.concatenate(
+        [jnp.zeros((n, 1), dt), cdf[:, :-1]], axis=1
+    )
+    c_lo = jnp.sum(hot_k * cdf_prev, axis=-1)
+    c_hi = jnp.sum(hot_k * cdf, axis=-1)
+    u0r = jnp.clip(
+        (u0 - c_lo) / jnp.maximum(c_hi - c_lo, 1e-12), 0.0, 1.0
+    )
+    sel = lambda tab: jnp.sum(hot_k[:, :, None] * tab, axis=1)  # (N,3)
+    tv0, te1, te2, tn = sel(v0), sel(e1), sel(e2), sel(nrm)
+
+    su = jnp.sqrt(u0r)
+    b1 = 1.0 - su
+    b2 = u[:, 1] * su
+    ps = tv0 + b1[:, None] * te1 + b2[:, None] * te2
+    to_s = ps - p
+    d2 = vm.length_sq(to_s)
+    dist = vm.safe_sqrt(d2)
+    wi = to_s / jnp.maximum(dist, 1e-12)[:, None]
+    cos_l = vm.dot(tn, -wi)
+    front = cos_l > 0.0  # one-sided: emits from the normal side
+    pdf = d2 / jnp.maximum(
+        jnp.abs(cos_l) * jnp.maximum(area, 1e-20), 1e-12
+    )
+    radiance = l_int * front[:, None]
+    valid = front & (dist > tmin) & (area > 0.0)
+    return wi, radiance, pdf, dist, valid
 
 
 def light_dir_pdf(
@@ -198,19 +285,10 @@ def light_dir_pdf(
 def selection_pdf_for_prim(scene: Scene, hit_prim: Array | None, dtype) -> Array:
     """P(sample_lights picks the light owning prim `hit_prim`) — must match
     the power-proportional table built in sample_lights for MIS to be
-    consistent."""
+    consistent (light_selection_dist is the single source of truth)."""
     L = scene.light_type.shape[0]
     P0 = scene.centers.shape[0]
-    lp_hot = (
-        jax.lax.broadcasted_iota(jnp.int32, (L, P0), 1)
-        == scene.light_prim[:, None]
-    ).astype(dtype)
-    l_radius = _mm(lp_hot, scene.radii)
-    lum = vm.luminance(scene.light_intensity)
-    area_w = 4.0 * jnp.pi * l_radius * l_radius
-    power = lum * jnp.where(scene.light_type == AREA_LIGHT, area_w, 1.0)
-    power = power * scene.light_valid
-    _, sel_pdfs = sampling.make_distribution_1d(jax.lax.stop_gradient(power))
+    _, sel_pdfs = light_selection_dist(scene)
     if hit_prim is None:
         return jnp.asarray(1.0, dtype)
     n = hit_prim.shape[0]
@@ -221,3 +299,21 @@ def selection_pdf_for_prim(scene: Scene, hit_prim: Array | None, dtype) -> Array
     lid = _mm(prim_hot, scene.light_id.astype(dtype)).astype(jnp.int32)
     lid = jnp.clip(lid, 0, L - 1)
     return jnp.take(sel_pdfs, lid)
+
+
+def tri_sel_over_area_by_mat(scene: Scene, dtype) -> Array:
+    """(M,) map: material id -> P(select its tri light) / total area.
+
+    The emitter-hit MIS counterweight for TRI_LIGHT hits is
+    pdf = t^2 / cos_l * table[hit material] (area pdf to solid angle,
+    times the same selection probability sample_lights uses)."""
+    _, sel_pdfs = light_selection_dist(scene)
+    is_tri = (scene.light_type == TRI_LIGHT) & scene.light_valid
+    vals = jnp.where(
+        is_tri, sel_pdfs / jnp.maximum(scene.tl_area, 1e-20), 0.0
+    ).astype(dtype)
+    M = scene.mat_color.shape[0]
+    lm = jnp.clip(scene.light_mat, 0, M - 1)
+    return jnp.zeros((M,), dtype).at[lm].add(
+        jnp.where(is_tri, vals, 0.0)
+    )
