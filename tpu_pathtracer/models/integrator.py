@@ -78,6 +78,16 @@ def trace(
     """
     attrs = prim_attrs(scene)
     detach = config.detach_sampling
+    # Bounce-level ray sorting (packet-mesh scenes): lanes are permuted
+    # ONCE per bounce by ray-coherence key — the shadow wave and the
+    # closest-hit wave then run pre-sorted, instead of each paying its own
+    # argsort + 15-plane permute round trip inside intersect_mesh_packet
+    # (~7-9 ms per wave at config-4 scale, about half the frame;
+    # benchmarks/profile_mesh_pieces.py). Lane-keyed counter RNG
+    # (utils/rng.py) makes the permutation invisible to the estimate: the
+    # carried lane ids keep every lane on its own stream, and the image is
+    # unscattered once at the end — bit-identical to the unsorted render.
+    bounce_sort = scene.mesh_packed is not None
 
     L0 = jnp.zeros_like(o)
     T0 = jnp.ones_like(o)
@@ -90,7 +100,7 @@ def trace(
     prev_pdf0 = o[:, 0] * 0.0
     alive0 = prev_pdf0 <= 0.0  # all-True, varying
     prev_delta0 = alive0
-    carry0 = (L0, T0, alive0, o, d, prev_pdf0, prev_delta0)
+    carry0 = (L0, T0, alive0, o, d, prev_pdf0, prev_delta0, lane_ids)
 
     def body(carry, bounce):
         # Intersect-FIRST structure: the segment produced by the previous
@@ -100,13 +110,22 @@ def trace(
         # (one whole BVH wave saved per frame on mesh scenes). Caller-dead
         # lanes are passed to intersect, which lets the packet mesh kernel
         # skip them (whole-tile skips at deep bounces under RR).
-        L, T, alive_in, prev_o, wo, prev_pdf, prev_delta = carry
+        L, T, alive_in, prev_o, wo, prev_pdf, prev_delta, lids = carry
+        if bounce_sort:
+            from tpu_pathtracer.ops.pallas.mesh_kernel import packet_sort_key
+
+            perm = jnp.argsort(packet_sort_key(prev_o, wo, alive=alive_in))
+            g = lambda x: jnp.take(x, perm, axis=0)
+            (L, T, alive_in, prev_o, wo, prev_pdf, prev_delta, lids) = (
+                g(L), g(T), g(alive_in), g(prev_o), g(wo), g(prev_pdf),
+                g(prev_delta), g(lids),
+            )
         hit = intersect(scene, attrs, prev_o, wo, tmin=config.tmin,
-                        alive=alive_in)
+                        alive=alive_in, presorted=bounce_sort)
         # Segments actually traced this bounce (honest rays/sec metric).
         live_rays = jnp.sum(alive_in.astype(jnp.int32))
         alive = alive_in & hit.hit
-        u = rng.bounce_uniforms(it_key, bounce, lane_ids)
+        u = rng.bounce_uniforms(it_key, bounce, lids)
 
         # -- emitter-hit contribution (pathtracer.cu:134-137 + light.h:43-45)
         one_sided = vm.dot(hit.n, -wo) > 0.0
@@ -148,7 +167,7 @@ def trace(
 
         # -- next-event estimation (live version of scene.h:150-170)
         if config.use_nee:
-            ul = rng.light_uniforms(it_key, bounce, lane_ids)
+            ul = rng.light_uniforms(it_key, bounce, lids)
             ls = lights.sample_lights(scene, hit.p, ul, tmin=config.tmin)
             f_l = bsdf.f(hit.mtype, hit.albedo, wo, ls.wi, hit.n)
             pdf_b = bsdf.pdf(hit.mtype, wo, ls.wi, hit.n)
@@ -162,7 +181,7 @@ def trace(
             vis_tmax = ls.dist * (1.0 - 1e-3) - EPSILON
             occluded = intersect_p(
                 scene, hit.p, ls.wi, tmin=config.tmin, tmax=vis_tmax,
-                mask=alive & ls.valid,
+                mask=alive & ls.valid, presorted=bounce_sort,
             )
             w_l = jnp.where(
                 ls.is_delta,
@@ -241,7 +260,7 @@ def trace(
         # weight must not be differentiated).
         return (
             (L, T, alive, safe_o, safe_d, lax.stop_gradient(pdf),
-             new_prev_delta),
+             new_prev_delta, lids),
             live_rays,
         )
 
@@ -250,7 +269,10 @@ def trace(
 
     bounces = jnp.arange(config.max_bounces + 1)
     if config.detach_sampling:
-        (L, *_), live_counts = lax.scan(body, carry0, bounces)
+        (L, *rest), live_counts = lax.scan(body, carry0, bounces)
+        if bounce_sort:
+            # restore lane order (one scatter for the whole render)
+            L = jnp.zeros_like(L).at[rest[-1]].set(L)
     else:
         # Attached sampling unrolls the bounce loop: lax.scan's transpose
         # materializes zero cotangents for every carry element and
@@ -265,6 +287,8 @@ def trace(
             carry, y = body(carry, bounces[b])
             ys.append(y)
         L = carry[0]
+        if bounce_sort:
+            L = jnp.zeros_like(L).at[carry[-1]].set(L)
         live_counts = jnp.stack(ys)
     if config.count_rays:
         # every traced segment, primaries included (counted at the top of

@@ -92,13 +92,16 @@ def ray_sphere_t(
 def intersect_p(
     scene: Scene, o: Array, d: Array, tmin: float = EPSILON,
     tmax: Array | float = BIG, mask: Array | None = None,
+    presorted: bool = False,
 ) -> Array:
     """Any-hit shadow test (reference scene.h:101-108 IntersectP).
 
     tmax may be per-ray (N,) for visibility segments (light.h:23-32).
     Returns (N,) bool: True if anything occludes. mask (N,) bool,
     optional: lanes whose answer the caller will discard — they report
-    occluded=True and the packet mesh kernel skips them.
+    occluded=True and the packet mesh kernel skips them. presorted:
+    the caller already grouped lanes by ray coherence (the integrator's
+    bounce-level sort) — skip the packet kernel's own sort pass.
     """
     tmax_arr = jnp.asarray(tmax)
     if tmax_arr.ndim == 0:
@@ -118,7 +121,8 @@ def intersect_p(
             if mask is not None:
                 t_init = jnp.where(mask, t_init, 0.0)
             ph = intersect_mesh_packet(
-                scene.mesh_packed, o, d, tmin=tmin, t_init=t_init
+                scene.mesh_packed, o, d, tmin=tmin, t_init=t_init,
+                sort=not presorted,
             )
             occluded = occluded | (ph.t < tmax_arr)
             if mask is not None:
@@ -141,6 +145,7 @@ def intersect(
     tmin: float = EPSILON,
     tmax: float = BIG,
     alive: Array | None = None,
+    presorted: bool = False,
 ) -> Hit:
     """Closest-hit query with gathered shading attributes.
 
@@ -151,7 +156,8 @@ def intersect(
     alive (N,) bool, optional: lanes known-dead by the caller (terminated
     paths in a wavefront). Their results are arbitrary-but-finite; the
     packet mesh kernel skips them entirely (whole tiles of dead lanes do
-    zero traversal work).
+    zero traversal work). presorted: lanes already coherence-grouped by
+    the caller (integrator bounce-level sort) — skip the in-call sort.
     """
     t_np = ray_sphere_t(scene, o, d, tmin=tmin, tmax=tmax)  # (N,P)
     t = jnp.min(t_np, axis=-1)
@@ -185,7 +191,7 @@ def intersect(
          emission, mat) = _merge_mesh_hit(
             scene, o, d, tmin, alive,
             t, idx, hit, p, n, center, radius, albedo, coef, mtype, emission,
-            mat,
+            mat, presorted,
         )
 
     return Hit(
@@ -196,7 +202,8 @@ def intersect(
 
 def _merge_mesh_hit(scene, o, d, tmin, alive,
                     t, idx, hit, p, n, center, radius,
-                    albedo, coef, mtype, emission, mat):
+                    albedo, coef, mtype, emission, mat,
+                    presorted=False):
     """Fold triangle-mesh hits into the sphere hit record (closest wins).
 
     Triangle shading attributes come from the material tables via the
@@ -218,7 +225,8 @@ def _merge_mesh_hit(scene, o, d, tmin, alive,
         if alive is not None:
             t_init = jnp.where(alive, t_init, 0.0)
         ph = intersect_mesh_packet(
-            scene.mesh_packed, o, d, tmin=tmin, t_init=t_init
+            scene.mesh_packed, o, d, tmin=tmin, t_init=t_init,
+            sort=not presorted,
         )
         closer = ph.t < t
         tn = ph.n

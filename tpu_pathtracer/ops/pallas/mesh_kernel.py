@@ -411,6 +411,31 @@ class PacketHit:
     mat: Array  # (N,) material id
 
 
+def packet_sort_key(o: Array, d: Array, alive: Array | None = None) -> Array:
+    """Ray-coherence sort key: direction octant (major) + coarse origin
+    cell (minor); dead lanes sort to the tail so their tiles skip the
+    whole walk. Exposed so the integrator can sort ONCE per bounce and
+    run both the shadow and the next closest-hit wave pre-sorted —
+    the per-call argsort+permute pipeline is ~7-9 ms per wave at config-4
+    scale, about half the frame (benchmarks/profile_mesh_pieces.py)."""
+    oct_ = (
+        (d[:, 0] < 0).astype(jnp.int32) * 4
+        + (d[:, 1] < 0).astype(jnp.int32) * 2
+        + (d[:, 2] < 0).astype(jnp.int32)
+    )
+    lo = jnp.min(o, axis=0)
+    hi = jnp.max(o, axis=0)
+    q = jnp.clip(
+        ((o - lo) / jnp.maximum(hi - lo, 1e-6) * 15.0).astype(jnp.int32),
+        0, 15,
+    )
+    cell = (q[:, 0] * 16 + q[:, 2]) * 16 + q[:, 1]
+    key = oct_ * 4096 + cell
+    if alive is not None:
+        key = jnp.where(alive, key, jnp.int32(1 << 20))
+    return key
+
+
 def intersect_mesh_packet(
     packed: PackedMesh, o: Array, d: Array, tmin: float,
     tile_rows: int = 16, sort: bool = True,
@@ -433,23 +458,13 @@ def intersect_mesh_packet(
     if t_init is None:
         t_init = jnp.full((n,), BIG, jnp.float32)
     if sort:
-        live = t_init > 0.0
-        oct_ = (
-            (d[:, 0] < 0).astype(jnp.int32) * 4
-            + (d[:, 1] < 0).astype(jnp.int32) * 2
-            + (d[:, 2] < 0).astype(jnp.int32)
-        )
-        lo = jnp.min(o, axis=0)
-        hi = jnp.max(o, axis=0)
-        q = jnp.clip(
-            ((o - lo) / jnp.maximum(hi - lo, 1e-6) * 15.0).astype(jnp.int32),
-            0, 15,
-        )
-        cell = (q[:, 0] * 16 + q[:, 2]) * 16 + q[:, 1]
-        key = oct_ * 4096 + cell
-        key = jnp.where(live, key, jnp.int32(1 << 20))  # dead lanes last
+        key = packet_sort_key(o, d, alive=t_init > 0.0)
         perm = jnp.argsort(key)
-        inv = jnp.argsort(perm)
+        # inverse permutation by scatter — ~20% cheaper than a second
+        # argsort (benchmarks/profile_mesh_pieces.py)
+        inv = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(perm.shape[0], dtype=perm.dtype)
+        )
         hit = intersect_mesh_packet(
             packed, jnp.take(o, perm, axis=0), jnp.take(d, perm, axis=0),
             tmin, tile_rows=tile_rows, sort=False,
