@@ -256,6 +256,38 @@ def test_packet_kernel_t_init_semantics():
     np.testing.assert_allclose(th_[1::2], tc[1::2], rtol=1e-5)
 
 
+def test_packet_kernel_any_hit_occlusion():
+    """any_hit=True flags exactly the lanes the closest-hit walk flags as
+    occluded within the segment (t < t_init), while resolving no
+    attributes — the shadow-wave fast path (ops/intersect.py intersect_p)."""
+    mesh, packed = _packet_fixture()
+    from tpu_pathtracer.ops.pallas.mesh_kernel import intersect_mesh_packet
+
+    rng = np.random.default_rng(2)
+    n = 600
+    o = jnp.asarray(
+        rng.uniform(-14, 14, (n, 3)).astype(np.float32) + [0, 25, 0]
+    )
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 1] -= 1.0
+    d = jnp.asarray(d)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    seg = jnp.where(jnp.arange(n) % 3 == 0, 0.0, 30.0)  # some dead lanes
+    closest = intersect_mesh_packet(
+        packed, o, d, tmin=1e-3, t_init=seg, interpret=True
+    )
+    anyh = intersect_mesh_packet(
+        packed, o, d, tmin=1e-3, t_init=seg, any_hit=True, interpret=True
+    )
+    occ_ref = np.asarray(closest.t) < np.asarray(seg)
+    occ_any = np.asarray(anyh.t) < np.asarray(seg)
+    assert occ_ref.sum() > 50  # fixture actually occludes
+    np.testing.assert_array_equal(occ_any, occ_ref)
+    # dead lanes never occlude
+    assert not occ_any[::3].any()
+
+
 def test_packet_path_full_render_matches_xla_path():
     """End-to-end: a mesh scene rendered with the packet kernel (interpret)
     equals the XLA-traversal render — the intersect-first integrator feeds

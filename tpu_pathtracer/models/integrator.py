@@ -115,11 +115,26 @@ def trace(
             from tpu_pathtracer.ops.pallas.mesh_kernel import packet_sort_key
 
             perm = jnp.argsort(packet_sort_key(prev_o, wo, alive=alive_in))
-            g = lambda x: jnp.take(x, perm, axis=0)
-            (L, T, alive_in, prev_o, wo, prev_pdf, prev_delta, lids) = (
-                g(L), g(T), g(alive_in), g(prev_o), g(wo), g(prev_pdf),
-                g(prev_delta), g(lids),
+            # One packed (N, 16) row gather instead of 16 separate 1-D
+            # gathers — the whole carry rides a single 64 B-row permute.
+            # lids ride as a bitcast (exact for any int32); bools as 0/1.
+            packed = jnp.concatenate(
+                [
+                    L, T, prev_o, wo,
+                    alive_in.astype(jnp.float32)[:, None],
+                    prev_pdf[:, None],
+                    prev_delta.astype(jnp.float32)[:, None],
+                    lax.bitcast_convert_type(lids, jnp.float32)[:, None],
+                ],
+                axis=1,
             )
+            packed = jnp.take(packed, perm, axis=0)
+            L, T = packed[:, 0:3], packed[:, 3:6]
+            prev_o, wo = packed[:, 6:9], packed[:, 9:12]
+            alive_in = packed[:, 12] > 0.5
+            prev_pdf = packed[:, 13]
+            prev_delta = packed[:, 14] > 0.5
+            lids = lax.bitcast_convert_type(packed[:, 15], jnp.int32)
         hit = intersect(scene, attrs, prev_o, wo, tmin=config.tmin,
                         alive=alive_in, presorted=bounce_sort)
         # Segments actually traced this bounce (honest rays/sec metric).

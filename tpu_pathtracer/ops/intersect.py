@@ -114,15 +114,16 @@ def intersect_p(
                 intersect_mesh_packet,
             )
 
-            # Walk from t_init = segment length: any found hit is an
-            # occluder, each one shrinks the packet's pruning bound, and
-            # already-occluded / masked lanes do no work.
-            t_init = tmax_arr
+            # Walk from t_init = segment length in any-hit mode: the
+            # FIRST found occluder kills the lane (t=0), no attributes
+            # are resolved, and lanes the sphere pass already occluded
+            # (or the caller masked) start dead and do no work.
+            t_init = jnp.where(occluded, 0.0, tmax_arr)
             if mask is not None:
                 t_init = jnp.where(mask, t_init, 0.0)
             ph = intersect_mesh_packet(
                 scene.mesh_packed, o, d, tmin=tmin, t_init=t_init,
-                sort=not presorted,
+                sort=not presorted, any_hit=True,
             )
             occluded = occluded | (ph.t < tmax_arr)
             if mask is not None:

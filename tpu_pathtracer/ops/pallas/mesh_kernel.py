@@ -224,6 +224,7 @@ def _packet_kernel(
     n_nodes: int,
     leaf_rows: int,
     tmin: float,
+    occlusion: bool,
 ):
     tile = pl.program_id(0)
     ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
@@ -264,6 +265,11 @@ def _packet_kernel(
             jnp.maximum(tz0, tz1),
         )
         box_hit = live & (tn <= tf) & (tf > tmin) & (tn < t_cur)
+        if occlusion:
+            # occlusion mode: a found occluder zeroes the lane's t, which
+            # must kill it outright (tn can be negative when the origin
+            # sits inside a box, so tn < t_cur alone would keep expanding)
+            box_hit = box_hit & (t_cur > 0.0)
         any_hit = jnp.sum(box_hit.astype(jnp.int32)) > 0
 
         skip = nd[6].astype(jnp.int32)
@@ -276,13 +282,14 @@ def _packet_kernel(
             base = start // TRIS_PER_ROW
             trs = tris_ref[pl.ds(base, leaf_rows), :]  # (leaf_rows, 128)
             t_best = t_ref[:, :]
-            idx_b = idx_ref[:, :]
-            nx_b = nx_ref[:, :]
-            ny_b = ny_ref[:, :]
-            nz_b = nz_ref[:, :]
-            tu_b = tu_ref[:, :]
-            tv_b = tv_ref[:, :]
-            mat_b = mat_ref[:, :]
+            if not occlusion:
+                idx_b = idx_ref[:, :]
+                nx_b = nx_ref[:, :]
+                ny_b = ny_ref[:, :]
+                nz_b = nz_ref[:, :]
+                tu_b = tu_ref[:, :]
+                tv_b = tv_ref[:, :]
+                mat_b = mat_ref[:, :]
             for j in range(leaf_rows * TRIS_PER_ROW):
                 r = j // TRIS_PER_ROW
                 c0 = (j % TRIS_PER_ROW) * TRI_STRIDE
@@ -310,6 +317,13 @@ def _packet_kernel(
                     & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                     & (tt > tmin) & (tt < t_best)
                 )
+                if occlusion:
+                    # occlusion query: the first occluder zeroes t — the
+                    # lane stops expanding boxes (see box_hit above) and
+                    # t=0 < t_init reads as "occluded" to the caller. No
+                    # attribute resolution at all in this mode.
+                    t_best = jnp.where(valid, 0.0, t_best)
+                    continue
                 t_best = jnp.where(valid, tt, t_best)
                 idx_b = jnp.where(valid, start + j, idx_b)
                 # scalar geometric normal (cross of the scalar edges) and
@@ -336,13 +350,14 @@ def _packet_kernel(
                 mat_b = jnp.where(valid, trs[r, c0 + 9].astype(jnp.int32),
                                   mat_b)
             t_ref[:, :] = t_best
-            idx_ref[:, :] = idx_b
-            nx_ref[:, :] = nx_b
-            ny_ref[:, :] = ny_b
-            nz_ref[:, :] = nz_b
-            tu_ref[:, :] = tu_b
-            tv_ref[:, :] = tv_b
-            mat_ref[:, :] = mat_b
+            if not occlusion:
+                idx_ref[:, :] = idx_b
+                nx_ref[:, :] = nx_b
+                ny_ref[:, :] = ny_b
+                nz_ref[:, :] = nz_b
+                tu_ref[:, :] = tu_b
+                tv_ref[:, :] = tv_b
+                mat_ref[:, :] = mat_b
 
         descend = any_hit & ~is_leaf
         return jnp.where(descend, n + 1, skip)
@@ -352,28 +367,29 @@ def _packet_kernel(
         lax.while_loop(lambda n: n < n_nodes, body, jnp.int32(0))
 
     # normalize the winning normal (n_geom convention, models/mesh.py)
-    nx, ny, nz = nx_ref[:, :], ny_ref[:, :], nz_ref[:, :]
-    inv_len = 1.0 / jnp.sqrt(
-        jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20)
-    )
-    nx_ref[:, :] = nx * inv_len
-    ny_ref[:, :] = ny * inv_len
-    nz_ref[:, :] = nz * inv_len
+    if not occlusion:
+        nx, ny, nz = nx_ref[:, :], ny_ref[:, :], nz_ref[:, :]
+        inv_len = 1.0 / jnp.sqrt(
+            jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20)
+        )
+        nx_ref[:, :] = nx * inv_len
+        ny_ref[:, :] = ny * inv_len
+        nz_ref[:, :] = nz * inv_len
 
 
 @functools.partial(
     jax.jit, static_argnames=("rows_total", "tile_rows", "n_nodes",
-                              "leaf_rows", "tmin", "interpret"),
+                              "leaf_rows", "tmin", "any_hit", "interpret"),
 )
 def _run_packet(flags, nodes, tri_rows, o_planes, d_planes, t0_plane,
                 rows_total, tile_rows, n_nodes, leaf_rows, tmin,
-                interpret=False):
+                any_hit=False, interpret=False):
     lane_spec = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0))
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i, *_: (0, 0),
                                     memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _packet_kernel, rows=tile_rows, n_nodes=n_nodes,
-        leaf_rows=leaf_rows, tmin=tmin,
+        leaf_rows=leaf_rows, tmin=tmin, occlusion=any_hit,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -440,6 +456,7 @@ def intersect_mesh_packet(
     packed: PackedMesh, o: Array, d: Array, tmin: float,
     tile_rows: int = 16, sort: bool = True,
     t_init: Array | None = None,
+    any_hit: bool = False,
     interpret: bool = False,
 ) -> PacketHit:
     """Packet-traversal closest hit with in-kernel attribute resolution.
@@ -449,6 +466,12 @@ def intersect_mesh_packet(
     t to prune, or the shadow segment length for an occlusion query);
     lanes with t_init <= 0 are dead and cost nothing. Returns a PacketHit
     whose t equals t_init (or BIG) where no closer mesh hit exists.
+
+    any_hit=True turns the walk into a pure occlusion query: the FIRST
+    intersected triangle zeroes the lane's t (t=0 < t_init reads as
+    "occluded"), the lane immediately stops expanding boxes, and no
+    shading attributes are resolved (tri/n/uv/mat are zeros) — roughly
+    half the per-wave cost for shadow rays.
 
     sort=True groups live rays by direction octant + coarse origin cell
     (dead lanes go LAST, so their tiles skip the whole walk) before
@@ -468,7 +491,8 @@ def intersect_mesh_packet(
         hit = intersect_mesh_packet(
             packed, jnp.take(o, perm, axis=0), jnp.take(d, perm, axis=0),
             tmin, tile_rows=tile_rows, sort=False,
-            t_init=jnp.take(t_init, perm), interpret=interpret,
+            t_init=jnp.take(t_init, perm), any_hit=any_hit,
+            interpret=interpret,
         )
         return PacketHit(
             t=jnp.take(hit.t, inv),
@@ -498,7 +522,7 @@ def intersect_mesh_packet(
     t, idx, nx, ny, nz, tu, tv, mat = _run_packet(
         flags, packed.nodes, packed.tri_rows, o_planes, d_planes, t0_plane,
         rows_total, tile_rows, packed.num_nodes, leaf_rows, tmin,
-        interpret=interpret,
+        any_hit=any_hit, interpret=interpret,
     )
 
     def unplane(a):
