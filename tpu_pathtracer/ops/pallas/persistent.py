@@ -29,9 +29,13 @@ special case of this.
 Integrator math is bounce-for-bounce identical to trace_kernel.py /
 models/integrator.py (emitter-hit + optional NEE/MIS, 3 BSDFs, RR after
 rr_start with p = min(0.5, max(T)), bounce cap, miss termination —
-reference pathtracer.cu:112-170 semantics), except that bounce-indexed
-decisions (RR gate, bounce cap) are per-lane vector compares instead of
-static unroll stages, because lanes are at different bounce depths.
+reference pathtracer.cu:112-170 semantics), with two deliberate
+deviations: bounce-indexed decisions (RR gate, bounce cap) are per-lane
+vector compares instead of static unroll stages (lanes sit at different
+bounce depths), and the diffuse cosine-hemisphere draw uses the polar
+disk map instead of the XLA path's concentric map — the same exact
+distribution through a cheaper warping (see the sampling block), so
+images agree in distribution, not uniform-for-uniform.
 
 Thin-lens DOF (the reference's TODO, camera.h:68) is compiled in when the
 camera uses it: lens-disk sampling via the polar map (same uniform-disk
@@ -485,23 +489,19 @@ def _persistent_kernel(
                 Cb = Cb + Tb * (ab * INV_PI) * rad_b * scale
 
         # ---- BSDF sampling (scene.h:177-221, masked lanes)
-        sx_ = 2.0 * u1 - 1.0
-        sy_ = 2.0 * u2 - 1.0
-        in_r12 = sx_ >= -sy_
-        in_r1 = in_r12 & (sx_ > sy_)
-        in_r2 = in_r12 & ~in_r1
-        in_r3 = ~in_r12 & (sx_ <= sy_)
-        safe = lambda a, b: a / jnp.where(jnp.abs(b) > 0.0, b, 1.0)
-        rr_ = jnp.where(in_r1, sx_,
-              jnp.where(in_r2, sy_, jnp.where(in_r3, -sx_, -sy_)))
-        th = jnp.where(in_r1, safe(sy_, sx_),
-             jnp.where(in_r2, 2.0 - safe(sx_, sy_),
-             jnp.where(in_r3, 4.0 + safe(sy_, sx_), 6.0 - safe(sx_, sy_))))
-        th = th * (math.pi / 4.0)
-        degen = (sx_ == 0.0) & (sy_ == 0.0)
-        ldx = jnp.where(degen, 0.0, rr_ * jnp.cos(th))
-        ldy = jnp.where(degen, 0.0, rr_ * jnp.sin(th))
-        ldz = jnp.sqrt(jnp.maximum(1.0 - ldx * ldx - ldy * ldy, 0.0))
+        # Cosine hemisphere via the POLAR disk map: r = sqrt(u1),
+        # theta = 2*pi*u2, z = sqrt(1 - u1). Same exact distribution as
+        # the XLA path's concentric map (different warping — images agree
+        # in distribution, like the DOF lens stream above), ~15 fewer VPU
+        # ops per iteration than the 4-region concentric remap. The local
+        # frame (u, v, n) is orthonormal and (ldx, ldy, ldz) is unit by
+        # construction, so the world direction needs no re-normalize and
+        # its cosine against n IS ldz.
+        r_d = jnp.sqrt(u1)
+        th = (2.0 * math.pi) * u2
+        ldx = r_d * jnp.cos(th)
+        ldy = r_d * jnp.sin(th)
+        ldz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
         use_x = jnp.abs(nx) > jnp.abs(nz)
         ux = jnp.where(use_x, -ny, 0.0)
         uy = jnp.where(use_x, nx, -nz)
@@ -513,11 +513,9 @@ def _persistent_kernel(
         wdx = ux * ldx + vx * ldy + nx * ldz
         wdy = uy * ldx + vy * ldy + ny * ldz
         wdz = uz * ldx + vz * ldy + nz * ldz
-        wdx, wdy, wdz = _normalize3(wdx, wdy, wdz)
-        cos_d = _dot3(wdx, wdy, wdz, nx, ny, nz)
         pdf_d = jnp.where(
             _dot3(wox, woy, woz, wdx, wdy, wdz) < 0.0,
-            jnp.abs(cos_d) * INV_PI, 0.0,
+            ldz * INV_PI, 0.0,
         )
 
         won = _dot3(wox, woy, woz, nx, ny, nz)
