@@ -384,23 +384,15 @@ def _replay_kernel(
             Lr = Lr + nee_r; Lg = Lg + nee_g; Lb = Lb + nee_b
 
         # ---- BSDF sampling (scene.h:177-221, masked lanes)
-        sx_ = 2.0 * u1 - 1.0
-        sy_ = 2.0 * u2 - 1.0
-        in_r12 = sx_ >= -sy_
-        in_r1 = in_r12 & (sx_ > sy_)
-        in_r2 = in_r12 & ~in_r1
-        in_r3 = ~in_r12 & (sx_ <= sy_)
-        safe = lambda a, b: a / jnp.where(jnp.abs(b) > 0.0, b, 1.0)
-        rr_ = jnp.where(in_r1, sx_,
-              jnp.where(in_r2, sy_, jnp.where(in_r3, -sx_, -sy_)))
-        th = jnp.where(in_r1, safe(sy_, sx_),
-             jnp.where(in_r2, 2.0 - safe(sx_, sy_),
-             jnp.where(in_r3, 4.0 + safe(sy_, sx_), 6.0 - safe(sx_, sy_))))
-        th = th * (math.pi / 4.0)
-        degen = (sx_ == 0.0) & (sy_ == 0.0)
-        ldx = jnp.where(degen, 0.0, rr_ * jnp.cos(th))
-        ldy = jnp.where(degen, 0.0, rr_ * jnp.sin(th))
-        ldz = jnp.sqrt(jnp.maximum(1.0 - ldx * ldx - ldy * ldy, 0.0))
+        # Polar disk map, same as ops/pallas/persistent.py: identical
+        # cosine-hemisphere distribution to the XLA path's concentric map
+        # through a cheaper warping; the local frame is orthonormal so the
+        # result is unit without a re-normalize and its cosine IS ldz.
+        r_d = jnp.sqrt(u1)
+        th = (2.0 * math.pi) * u2
+        ldx = r_d * jnp.cos(th)
+        ldy = r_d * jnp.sin(th)
+        ldz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
         use_x = jnp.abs(nx) > jnp.abs(nz)
         ux = jnp.where(use_x, -ny, 0.0)
         uy = jnp.where(use_x, nx, -nz)
@@ -412,11 +404,9 @@ def _replay_kernel(
         wdx = ux * ldx + vx * ldy + nx * ldz
         wdy = uy * ldx + vy * ldy + ny * ldz
         wdz = uz * ldx + vz * ldy + nz * ldz
-        wdx, wdy, wdz = _normalize3(wdx, wdy, wdz)
-        cos_d = _dot3(wdx, wdy, wdz, nx, ny, nz)
         pdf_d = jnp.where(
             _dot3(wox, woy, woz, wdx, wdy, wdz) < 0.0,
-            jnp.abs(cos_d) * INV_PI, 0.0,
+            ldz * INV_PI, 0.0,
         )
 
         won = _dot3(wox, woy, woz, nx, ny, nz)
