@@ -102,7 +102,7 @@ def trace(
     prev_delta0 = alive0
     carry0 = (L0, T0, alive0, o, d, prev_pdf0, prev_delta0, lane_ids)
 
-    def body(carry, bounce):
+    def body(carry, bounce, do_sort=bounce_sort):
         # Intersect-FIRST structure: the segment produced by the previous
         # bounce (or the primary rays) is traced at the top, so the scan
         # performs exactly max_bounces+1 scene traversals — the trailing
@@ -110,8 +110,12 @@ def trace(
         # (one whole BVH wave saved per frame on mesh scenes). Caller-dead
         # lanes are passed to intersect, which lets the packet mesh kernel
         # skip them (whole-tile skips at deep bounces under RR).
+        # do_sort=False is the bounce-0 specialization: primary rays come
+        # in raster order (a tile = consecutive scanlines), which is
+        # already packet-coherent — the argsort+permute would be wasted
+        # (still presorted=True for intersect: don't re-sort in-call).
         L, T, alive_in, prev_o, wo, prev_pdf, prev_delta, lids = carry
-        if bounce_sort:
+        if do_sort:
             from tpu_pathtracer.ops.pallas.mesh_kernel import packet_sort_key
 
             perm = jnp.argsort(packet_sort_key(prev_o, wo, alive=alive_in))
@@ -279,15 +283,25 @@ def trace(
             live_rays,
         )
 
+    # bind do_sort statically BEFORE any remat wrap: jax.checkpoint traces
+    # explicitly-passed args, and the flag gates Python control flow
+    body0 = partial(body, do_sort=False)
     if config.remat:
         body = jax.checkpoint(body)
+        body0 = jax.checkpoint(body0)
 
     bounces = jnp.arange(config.max_bounces + 1)
     if config.detach_sampling:
-        (L, *rest), live_counts = lax.scan(body, carry0, bounces)
         if bounce_sort:
-            # restore lane order (one scatter for the whole render)
+            # Peel bounce 0 (no permute — raster order is coherent), scan
+            # the sorted body over the rest, then restore lane order with
+            # one scatter for the whole render.
+            carry1, y0 = body0(carry0, bounces[0])
+            (L, *rest), live_tail = lax.scan(body, carry1, bounces[1:])
+            live_counts = jnp.concatenate([y0[None], live_tail])
             L = jnp.zeros_like(L).at[rest[-1]].set(L)
+        else:
+            (L, *rest), live_counts = lax.scan(body, carry0, bounces)
     else:
         # Attached sampling unrolls the bounce loop: lax.scan's transpose
         # materializes zero cotangents for every carry element and
@@ -299,7 +313,8 @@ def trace(
         # keeps the scan.
         carry, ys = carry0, []
         for b in range(config.max_bounces + 1):
-            carry, y = body(carry, bounces[b])
+            fn = body0 if (bounce_sort and b == 0) else body
+            carry, y = fn(carry, bounces[b])
             ys.append(y)
         L = carry[0]
         if bounce_sort:
