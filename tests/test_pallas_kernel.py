@@ -1,10 +1,18 @@
-"""Tests for the fused Pallas trace kernel (TPU only).
+"""Tests for the fused Pallas trace kernel (legacy per-sample kernel).
 
-The CPU suite skips these: the kernel uses TPU hardware PRNG primitives.
-On a TPU chip, the kernel must agree with the XLA wavefront integrator in
-distribution (same estimator, different RNG streams) and be deterministic.
-Run manually on TPU:  python -m pytest tests/test_pallas_kernel.py --no-header
+The statistical tests are TPU-only (the kernel draws from the TPU
+hardware PRNG, which the Pallas interpreter stubs to zeros): on a TPU
+chip, the kernel must agree with the XLA wavefront integrator in
+distribution (same estimator, different RNG streams) and be
+deterministic. Run manually on TPU:
+  python -m pytest tests/test_pallas_kernel.py --no-header
 (without the conftest CPU override:  TPUPT_TPU_TESTS=1)
+
+The CPU suite still EXECUTES the whole kernel through the interpreter
+(test_interpret_smoke): with all-zero uniforms the image is
+deterministic and statistically meaningless, but every code path —
+ray gen, the bounce unroll, all three BSDFs, NEE, accumulation —
+lowers and runs, so structural regressions surface without a chip.
 """
 import os
 
@@ -13,17 +21,36 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-if jax.devices()[0].platform == "cpu":
-    pytest.skip(
-        "pallas trace kernel needs a TPU (hardware PRNG)",
-        allow_module_level=True,
-    )
+tpu_only = pytest.mark.skipif(
+    jax.devices()[0].platform == "cpu",
+    reason="distribution tests need the TPU hardware PRNG",
+)
 
 from tpu_pathtracer.models import camera as cm, scene as sc
 from tpu_pathtracer.models.integrator import RenderConfig, render_image
 from tpu_pathtracer.ops.pallas.trace_kernel import pallas_render, pack_camera
 
 
+def test_interpret_smoke():
+    """The full kernel executes on CPU via the Pallas interpreter: finite
+    image of the right shape, ray counter >= the primary count (zeros-PRNG
+    render; statistical agreement is the TPU-only tests below)."""
+    scene, cs = sc.cornell_spheres()
+    W, H, SPP = 32, 24, 2
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], W, H, cs["fov"])
+    for nee in (False, True):
+        img, nrays = pallas_render(
+            scene, pack_camera(cam), jnp.asarray([1, 0, 0], jnp.int32),
+            spp=SPP, width=W, height=H, max_bounces=3, tile_rows=8,
+            use_nee=nee, interpret=True,
+        )
+        img = np.asarray(img)
+        assert img.shape == (H, W, 3)
+        assert np.isfinite(img).all()
+        assert int(nrays) >= W * H * SPP
+
+
+@tpu_only
 def test_matches_xla_integrator_in_distribution():
     scene, cs = sc.cornell_spheres()
     W, H, SPP, MB = 64, 48, 4, 10
@@ -43,6 +70,7 @@ def test_matches_xla_integrator_in_distribution():
     assert abs(acc_p / acc_x - 1.0) < 0.03
 
 
+@tpu_only
 def test_deterministic_and_iteration_decorrelated():
     scene, cs = sc.single_sphere()
     cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 32, 32, cs["fov"])
@@ -55,6 +83,7 @@ def test_deterministic_and_iteration_decorrelated():
     assert int(na) >= 32 * 32 * 4  # at least the primary rays
 
 
+@tpu_only
 def test_tile_size_invariance():
     """Same seed, different tile_rows -> different streams per tile, but the
     estimator mean must agree within MC tolerance."""
@@ -73,6 +102,7 @@ def test_tile_size_invariance():
     assert abs(means[0] / means[1] - 1.0) < 0.05
 
 
+@tpu_only
 def test_nee_kernel_matches_xla_nee():
     """In-kernel NEE+MIS agrees with the XLA NEE integrator (MC tolerance;
     30 iterations — at 10 the two independent RNG streams still differ by
@@ -93,6 +123,7 @@ def test_nee_kernel_matches_xla_nee():
         assert abs(acc_p / acc_x - 1.0) < 0.05, (name, acc_p / acc_x)
 
 
+@tpu_only
 def test_nee_kernel_point_light():
     scene = sc.make_scene(
         [sc.sphere([0, -1e4 - 1, 0], 1e4, 0)],
@@ -107,6 +138,7 @@ def test_nee_kernel_point_light():
     assert float(jnp.max(img)) > 0.1  # point light visible via NEE
 
 
+@tpu_only
 def test_packet_traversal_matches_xla():
     from tpu_pathtracer.models import meshes
     from tpu_pathtracer.models.mesh import build_bvh
@@ -127,18 +159,18 @@ def test_packet_traversal_matches_xla():
     dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
     d = jnp.asarray(dd, jnp.float32)
     for sort in (False, True):
-        tp, trip, up, vp = intersect_mesh_packet(packed, o, d, tmin=1e-3,
-                                                 sort=sort)
+        ph = intersect_mesh_packet(packed, o, d, tmin=1e-3, sort=sort)
         ref = intersect_mesh(mesh, o, d, tmin=1e-3)
-        tp_n, tx_n = np.array(tp), np.array(ref.t)
+        tp_n, tx_n = np.array(ph.t), np.array(ref.t)
         hit_p, hit_x = tp_n < BIG / 2, tx_n < BIG / 2
         assert (hit_p == hit_x).all(), sort
         both = hit_p & hit_x
         np.testing.assert_allclose(tp_n[both], tx_n[both], rtol=1e-5)
-        np.testing.assert_array_equal(np.array(trip)[both],
+        np.testing.assert_array_equal(np.array(ph.tri)[both],
                                       np.array(ref.tri)[both])
 
 
+@tpu_only
 def test_packet_scene_render_matches_xla_mesh_path():
     from tpu_pathtracer.models import meshes
     from tpu_pathtracer.models.mesh import build_bvh

@@ -523,7 +523,7 @@ def _trace_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "width", "height", "max_bounces", "rr_start",
-                     "tile_rows", "use_nee"),
+                     "tile_rows", "use_nee", "interpret"),
 )
 def pallas_render(
     scene: Scene,
@@ -537,8 +537,15 @@ def pallas_render(
     rr_start: int = 3,
     tile_rows: int = 16,
     use_nee: bool = False,
+    interpret: bool = False,
 ):
-    """Render via the fused kernel. Returns ((H, W, 3) image, rays traced)."""
+    """Render via the fused kernel. Returns ((H, W, 3) image, rays traced).
+
+    interpret=True runs through the Pallas TPU interpreter (CPU suite
+    smoke path); the interpreter stubs the hardware PRNG to zeros, so the
+    image is a deterministic all-zero-uniform render — structurally
+    complete, statistically meaningless. Real validation is the TPU run.
+    """
     prims = pack_prims(scene)
     n_prims = int(scene.num_prims)
 
@@ -599,6 +606,7 @@ def pallas_render(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(seed, prims, cam_packed, lights_tab)
 
     lanes_r = lr.reshape(-1)[:n_lanes]
