@@ -24,6 +24,18 @@ def test_headless_smoke():
     assert n == 2
 
 
+def test_headless_smoke_pallas_backend():
+    """The viewer drives the persistent kernel (interpreter on CPU) —
+    the interactive fast path for sphere scenes on TPU."""
+    scene, camera = _cam()
+    n = run_viewer(
+        scene, camera, RenderConfig(spp=2, max_bounces=2), seed=1,
+        max_frames=2, interactive=False, out=io.StringIO(),
+        backend="pallas",
+    )
+    assert n == 2
+
+
 def test_drag_camera_left_rotates():
     scene, camera = _cam()
     cam2 = drag_camera(camera, 0, 3, -2, 1.0)

@@ -168,6 +168,7 @@ def cmd_view(args: argparse.Namespace) -> int:
         max_frames=args.frames,
         interactive=sys.stdout.isatty() or args.frames is None,
         snapshot_path=args.snapshot,
+        backend=args.backend,
     )
     print(f"\nrendered {frames} frames")
     return 0
@@ -265,6 +266,10 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--frames", type=int, default=None,
                     help="stop after N frames (headless smoke mode)")
     pv.add_argument("--snapshot", default="snapshot.png")
+    pv.add_argument("--backend", choices=["auto", "xla", "pallas"],
+                    default="auto",
+                    help="auto = persistent kernel for sphere scenes on "
+                         "TPU (interactive rates), XLA otherwise")
     pv.set_defaults(fn=cmd_view)
 
     pi = sub.add_parser("invert", help="inverse-rendering demo (config 5)")

@@ -186,18 +186,47 @@ def run_viewer(
     interactive: bool = True,
     out=sys.stdout,
     snapshot_path: str = "snapshot.png",
+    backend: str = "auto",
 ) -> int:
     """Main loop. Returns the number of frames rendered.
 
     max_frames + interactive=False gives a scriptable smoke mode (used by
-    tests and headless checks).
+    tests and headless checks). backend: "auto" runs the persistent
+    path-regeneration kernel for sphere scenes on TPU (interactive
+    frame rates — the reference is a live renderer, main.cpp:205-232)
+    and the XLA progressive renderer otherwise; "xla"/"pallas" force.
     """
+    import jax
+
     from tpu_pathtracer.io.image import save_png, tonemap
     from tpu_pathtracer.models import camera as cm
-    from tpu_pathtracer.models.progressive import ProgressiveRenderer
+    from tpu_pathtracer.models.progressive import (
+        PersistentRenderer, ProgressiveRenderer,
+    )
     from tpu_pathtracer.utils.metrics import RenderMeter
 
-    r = ProgressiveRenderer(scene, camera, config, seed=seed)
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if scene.mesh is None and jax.devices()[0].platform != "cpu"
+            else "xla"
+        )
+    if backend == "pallas":
+        # on CPU (forced backend, headless smoke tests) run the kernel
+        # through the Pallas interpreter, with a small budget — the
+        # interpreter pays per wavefront iteration
+        interp = jax.devices()[0].platform == "cpu"
+        r = PersistentRenderer(
+            scene, camera, config, seed=seed, interpret=interp,
+            **({"budget": 4, "tile_rows": 8} if interp else {}),
+        )
+    else:
+        r = ProgressiveRenderer(scene, camera, config, seed=seed)
+
+    def _sync():
+        st = r.state
+        jax.block_until_ready(getattr(st, "radiance_sum", None)
+                              if hasattr(st, "radiance_sum") else st.lr)
     meter = RenderMeter(camera.width * camera.height * config.spp)
     speed = CAM_TRANSLATE_DELTA
     frames = 0
@@ -241,7 +270,7 @@ def run_viewer(
         while True:
             t0 = time.perf_counter()
             r.step()
-            r.state.radiance_sum.block_until_ready()
+            _sync()
             meter.update(time.perf_counter() - t0, None)
             frames += 1
             if interactive:
