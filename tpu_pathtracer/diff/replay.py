@@ -37,13 +37,17 @@ Emission adjoints divide the accumulated term by the light's intensity
 (both the emitter-hit and NEE terms are linear in I), guarded at 0.
 
 Scope: gradients w.r.t. scene.mat_color and scene.light_intensity — the
-inverse-rendering parameters (config 5) — for sphere-primitive hits (mesh
-hits are masked out of the adjoint; extend by routing mesh.material_id the
-same way). Geometry/camera derivatives are not represented in this
-estimator; use the autodiff path (RenderConfig.remat) for those. The
-albedo adjoint divides by the albedo (the standard PRB trick); the
-division is guarded and zero-albedo channels transport zero radiance, so
-their gradients vanish correctly.
+inverse-rendering parameters (config 5) — for sphere AND mesh hits: the
+unified Hit.mat id routes every vertex's albedo adjoint to its material
+table row (texture factors cancel: w = tex*A*(...) so dw/dA = w/A — the
+adjoint divides by the TABLE color, not the texture-modulated albedo),
+and TRI_LIGHT emitter hits route to the owning light via the
+material->light map (one tri-light per material; a material shared by
+several TRI_LIGHT rows credits the first). Geometry/camera derivatives
+are not represented in this estimator; use the autodiff path
+(RenderConfig.remat) for those. The albedo division is guarded and
+zero-color channels transport zero radiance, so their gradients vanish
+correctly.
 """
 from __future__ import annotations
 
@@ -111,6 +115,21 @@ def _walk(scene: Scene, o: Array, d: Array, lane_ids: Array, it_key: Array,
                 scene, prev_o, wo, hit.center, hit.radius, is_light,
                 hit_prim=hit.prim,
             )
+            if scene.has_tri_lights:
+                # TRI_LIGHT emitter hits: solid-angle pdf of the light
+                # sampler for this direction (same math + clamps as
+                # models/integrator.py).
+                is_tri_hit = hit.prim >= P
+                fac = jnp.take(
+                    lights.tri_sel_over_area_by_mat(scene, lp.dtype),
+                    jnp.clip(hit.mat, 0, M - 1),
+                )
+                tt = jnp.minimum(hit.t, 1e6)
+                cos_l = jnp.abs(vm.dot(hit.n, wo))
+                lp_tri = tt * tt / jnp.maximum(cos_l, 1e-9) * fac
+                lp = jnp.where(
+                    is_tri_hit, lax.stop_gradient(lp_tri), lp
+                )
             w_emit = jnp.where(
                 prev_delta, 1.0,
                 sampling.power_heuristic(1.0, prev_pdf, 1.0, lp),
@@ -120,16 +139,28 @@ def _walk(scene: Scene, o: Array, d: Array, lane_ids: Array, it_key: Array,
         take = (take_le.astype(T.dtype) * w_emit)[:, None]
         L = L + T * hit.emission * take
 
-        is_sphere = hit.prim < P  # adjoints route through sphere tables only
-
         if adjoint:
             # emission adjoint: the emitter-hit term is T*I*take (linear in
-            # the owning light's intensity) -> route T*take.
-            lit = take * (
-                (~vm.is_black(hit.emission)) & is_sphere
-            ).astype(T.dtype)[:, None]
+            # the owning light's intensity) -> route T*take. Sphere lanes
+            # map prim -> light_id; TRI_LIGHT lanes map the hit material to
+            # the (first) TRI_LIGHT row that owns it.
+            is_sphere = hit.prim < P
             prim_hot = _hot(hit.prim, P, T.dtype)
             lid = _mm(prim_hot, scene.light_id.astype(T.dtype)).astype(jnp.int32)
+            emit_valid = ~vm.is_black(hit.emission)
+            if scene.has_tri_lights:
+                from tpu_pathtracer.models.scene import TRI_LIGHT
+
+                is_tl = (scene.light_type == TRI_LIGHT) & scene.light_valid
+                owns = (scene.light_mat[None, :] == hit.mat[:, None]) \
+                    & is_tl[None, :]  # (N, NL)
+                lid_tri = jnp.argmax(owns, axis=1).astype(jnp.int32)
+                has_owner = jnp.any(owns, axis=1)
+                lid = jnp.where(is_sphere, lid, lid_tri)
+                emit_valid = emit_valid & (is_sphere | has_owner)
+            else:
+                emit_valid = emit_valid & is_sphere
+            lit = take * emit_valid.astype(T.dtype)[:, None]
             light_hot = _hot(lid, NL, T.dtype)
             gI = gI + _mm(light_hot.T, g * T * lit)
 
@@ -164,12 +195,11 @@ def _walk(scene: Scene, o: Array, d: Array, lane_ids: Array, it_key: Array,
             if adjoint:
                 # NEE is linear in the SELECTED light's intensity:
                 # nee_term = I * (rest) -> adjoint = g * nee_term / I.
+                # Routes by the light index, so mesh-surface vertices and
+                # TRI_LIGHT sources work unchanged.
                 li_hot = _hot(ls.index, NL, T.dtype)
                 I_l = _mm(li_hot, scene.light_intensity)
-                contrib_I = (
-                    g * nee_term / jnp.maximum(I_l, 1e-8)
-                    * is_sphere.astype(T.dtype)[:, None]
-                )
+                contrib_I = g * nee_term / jnp.maximum(I_l, 1e-8)
                 gI = gI + _mm(li_hot.T, contrib_I)
 
         f_val, wi, pdf = bsdf.sample(
@@ -194,19 +224,19 @@ def _walk(scene: Scene, o: Array, d: Array, lane_ids: Array, it_key: Array,
             # radiance it transports: suffix = L_total - L_prefix (all
             # emitter-hit and NEE terms accumulated at DEEPER vertices).
             # The NEE term at THIS vertex depends on A directly through its
-            # f factor (A/pi), so it contributes nee_term/A in addition.
+            # f factor, so it contributes nee_term/A in addition. Routing
+            # goes through the unified Hit.mat id (sphere AND mesh lanes),
+            # and divides by the TABLE color — textured albedos factor as
+            # tex*A, so dw/dA = w/A, not w/(tex*A).
             suffix = L_total - L
-            ok = (step_ok & is_sphere).astype(T.dtype)[:, None]
-            nee_ok = (alive & is_sphere).astype(T.dtype)[:, None]
+            ok = step_ok.astype(T.dtype)[:, None]
+            nee_ok = alive.astype(T.dtype)[:, None]
+            mat_hot = _hot(jnp.clip(hit.mat, 0, M - 1), M, T.dtype)
+            A_tab = _mm(mat_hot, scene.mat_color)
             contrib_A = (
                 g * (suffix * ok + nee_term * nee_ok)
-                / jnp.maximum(hit.albedo, 1e-8)
+                / jnp.maximum(A_tab, 1e-8)
             )
-            mid = _mm(_hot(hit.prim, P, T.dtype),
-                      scene.material_id.astype(T.dtype)).astype(jnp.int32)
-            # mesh lanes (prim >= P) produced all-zero prim_hot -> mid 0,
-            # but the masks already zeroed them.
-            mat_hot = _hot(mid, M, T.dtype)
             gA = gA + _mm(mat_hot.T, contrib_A)
 
         T = jnp.where(step_ok[:, None], T * weight, T)
