@@ -39,6 +39,23 @@ def test_sharded_equals_single_device(shape):
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_sharded_equals_single_device_mesh_scene():
+    """Triangle geometry shards like spheres: the mesh pytree is
+    replicated and lane-keyed RNG is partition-invariant. Unlike the
+    sphere path (bit-exact above), the BVH traversal's gather/lerp
+    chains fuse differently per partition shape, so the agreement is
+    1-ulp, not bitwise (observed max diff 6e-8)."""
+    scene, cs = sc.cornell_boxes()
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 16, 12,
+                         cs["fov"])
+    cfg = RenderConfig(spp=4, max_bounces=3, use_nee=True)
+    mesh = make_mesh(jax.devices(), n_tile=4, n_sample=2)
+    key = jax.random.key(6)
+    single = np.array(render_image(scene, cam, key, cfg))
+    sharded = np.array(render_sharded_jit(scene, cam, key, cfg, mesh))
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-7)
+
+
 def test_sharded_loss_matches_unsharded_mse():
     scene, cam, cfg = setup(spp=4)
     mesh = make_mesh(jax.devices(), n_tile=4, n_sample=2)

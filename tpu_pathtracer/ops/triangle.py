@@ -130,13 +130,13 @@ def intersect_mesh(
         node = jnp.where(active, next_node, node)
         return node, t_best, idx, uu, vv
 
-    state0 = (
-        jnp.zeros((n,), jnp.int32),
-        t_init,
-        jnp.zeros((n,), jnp.int32),
-        jnp.zeros((n,), o.dtype),
-        jnp.zeros((n,), o.dtype),
-    )
+    # Derive the zero carries from the ray arrays (not fresh constants):
+    # under shard_map the body outputs carry the mesh axes' varying tag,
+    # and lax.while_loop requires the initial carry to match (same trick
+    # as models/integrator.py's carry0).
+    zf = o[:, 0] * 0.0
+    zi = zf.astype(jnp.int32)
+    state0 = (zi, t_init + zf, zi, zf, zf)
     node, t_best, idx, uu, vv = lax.while_loop(cond, body, state0)
     hit_t = jnp.where(t_best < t_init, t_best, BIG)
     return TriHit(t=hit_t, tri=idx, u=uu, v=vv)
