@@ -14,7 +14,6 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/tpupt_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from tpu_pathtracer.models import scene as sc
-from tpu_pathtracer.models.mesh import build_bvh
 from tpu_pathtracer.ops.pallas.mesh_kernel import (
     intersect_mesh_packet, pack_mesh,
 )

@@ -316,3 +316,42 @@ def test_packet_path_full_render_matches_xla_path():
     finally:
         mk.intersect_mesh_packet = orig
     np.testing.assert_allclose(img_pk, img_xla, rtol=5e-4, atol=1e-5)
+
+
+def test_bounce_sort_restores_order_with_global_lane_ids():
+    """Sharded callers pass GLOBAL lane ids (pix*spp+s with a shard
+    offset); the bounce-level sort must restore lane order by the carried
+    LOCAL positions, not the lane ids. Regression: the restore used the
+    ids as scatter positions, silently dropping every out-of-range update
+    for offset ids."""
+    from tpu_pathtracer.models import camera as cam_mod
+    from tpu_pathtracer.models.integrator import trace
+    from tpu_pathtracer.utils import rng
+    import tpu_pathtracer.ops.pallas.mesh_kernel as mk
+
+    scene, cs = sc.cornell_boxes()
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 16, 12,
+                         cs["fov"])
+    cfg = RenderConfig(spp=1, max_bounces=2, use_nee=True)
+    n = 16 * 12
+    lane = jnp.arange(n, dtype=jnp.int32)
+    gids = lane + jnp.int32(10_000)  # a later shard's global ids
+    it_key = rng.iteration_key(jax.random.key(11), 0)
+    u = rng.camera_uniforms(it_key, gids)
+    o, d = cam_mod.generate_rays(cam, lane % 16, lane // 16,
+                                 u[:, 0] - 0.5, u[:, 1] - 0.5)
+
+    # oracle: the XLA traversal (no packet mesh -> no bounce sort)
+    L_ref = np.asarray(trace(scene, o, d, gids, it_key, cfg))
+
+    orig = mk.intersect_mesh_packet
+    mk.intersect_mesh_packet = (
+        lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    )
+    try:
+        L_pk = np.asarray(
+            trace(sc.with_packet_mesh(scene), o, d, gids, it_key, cfg)
+        )
+    finally:
+        mk.intersect_mesh_packet = orig
+    np.testing.assert_allclose(L_pk, L_ref, rtol=5e-4, atol=1e-5)

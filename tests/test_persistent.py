@@ -27,43 +27,10 @@ from tpu_pathtracer.ops.pallas.persistent import (
     LANES, init_state, persistent_step, state_image, state_min_samples,
 )
 from tpu_pathtracer.ops.pallas.trace_kernel import pack_camera
+from kernel_ref import kernel_bsdf_sample as _kernel_bsdf_sample
 
 W, H, TR = 32, 24, 8
 MB, RRS = 2, 3
-
-
-def _kernel_bsdf_sample(mtype, albedo, coef, wo, n, u1, u2):
-    """bsdf.sample with the KERNEL's diffuse draw: the polar disk map
-    (r = sqrt(u1), theta = 2*pi*u2, z = sqrt(1-u1)) in the reference
-    CoordinateSystem frame, no re-normalize — mirrors the sampling block
-    in ops/pallas/persistent.py (same distribution as the library's
-    concentric map, different warping, so uniform-for-uniform agreement
-    needs this exact transform)."""
-    from tpu_pathtracer.models.scene import DIFFUSE
-
-    f_val, wi, pdf_val = bsdf.sample(mtype, albedo, coef, wo, n, u1, u2)
-    r_d = jnp.sqrt(u1)
-    th = 2.0 * jnp.pi * u2
-    ldx = r_d * jnp.cos(th)
-    ldy = r_d * jnp.sin(th)
-    ldz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
-    nx, ny, nz = n[:, 0], n[:, 1], n[:, 2]
-    use_x = jnp.abs(nx) > jnp.abs(nz)
-    u = jnp.stack(
-        [jnp.where(use_x, -ny, 0.0), jnp.where(use_x, nx, -nz),
-         jnp.where(use_x, 0.0, ny)], axis=-1)
-    # exact mirror of the kernel's _normalize3 (rsqrt, not sqrt+divide —
-    # the roundings differ and this test demands uniform-for-uniform match)
-    u = u * jax.lax.rsqrt(
-        jnp.maximum(vm.dot(u, u), 1e-20)
-    )[:, None]
-    v = jnp.cross(n, u)
-    wi_d = u * ldx[:, None] + v * ldy[:, None] + n * ldz[:, None]
-    pdf_d = jnp.where(vm.dot(wo, wi_d) < 0.0, ldz * (1.0 / jnp.pi), 0.0)
-    is_d = mtype == DIFFUSE
-    wi = jnp.where(is_d[:, None], wi_d, wi)
-    pdf_val = jnp.where(is_d, pdf_d, pdf_val)
-    return f_val, wi, pdf_val
 
 
 def _schedule_replica(scene, camera, seed, n_frames, budget,

@@ -21,6 +21,7 @@ from tpu_pathtracer.ops.pallas.replay_kernel import (
     broadcast_pixels_to_lanes, lanes_layout, mse_value_and_grad, replay_call,
 )
 from tpu_pathtracer.ops.pallas.trace_kernel import LANES, pack_camera
+from kernel_ref import kernel_bsdf_sample as _kernel_bsdf_sample
 
 W, H, SPP, TR = 16, 12, 4, 8
 MB, RRS = 3, 3
@@ -38,34 +39,6 @@ def _uniform_stream(seed, iteration, n_draw, n_tiles):
         u = jax.random.uniform(jax.random.fold_in(rkey, t), (blk, LANES))
         out.append(np.asarray(u).reshape(n_draw, TR * LANES))
     return jnp.asarray(np.concatenate(out, axis=1))  # (n_draw, lanes_total)
-
-
-def _kernel_bsdf_sample(mtype, albedo, coef, wo, n, u1, u2):
-    """bsdf.sample with the KERNEL's diffuse draw (polar disk map in the
-    reference CoordinateSystem frame, rsqrt normalize, no world-space
-    re-normalize) — mirrors the sampling block in replay_kernel.py /
-    persistent.py; same helper as tests/test_persistent.py."""
-    from tpu_pathtracer.models.scene import DIFFUSE
-
-    f_val, wi, pdf_val = bsdf.sample(mtype, albedo, coef, wo, n, u1, u2)
-    r_d = jnp.sqrt(u1)
-    th = 2.0 * jnp.pi * u2
-    ldx = r_d * jnp.cos(th)
-    ldy = r_d * jnp.sin(th)
-    ldz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
-    nx, ny, nz = n[:, 0], n[:, 1], n[:, 2]
-    use_x = jnp.abs(nx) > jnp.abs(nz)
-    u = jnp.stack(
-        [jnp.where(use_x, -ny, 0.0), jnp.where(use_x, nx, -nz),
-         jnp.where(use_x, 0.0, ny)], axis=-1)
-    u = u * jax.lax.rsqrt(jnp.maximum(vm.dot(u, u), 1e-20))[:, None]
-    v = jnp.cross(n, u)
-    wi_d = u * ldx[:, None] + v * ldy[:, None] + n * ldz[:, None]
-    pdf_d = jnp.where(vm.dot(wo, wi_d) < 0.0, ldz * (1.0 / jnp.pi), 0.0)
-    is_d = mtype == DIFFUSE
-    wi = jnp.where(is_d[:, None], wi_d, wi)
-    pdf_val = jnp.where(is_d, pdf_d, pdf_val)
-    return f_val, wi, pdf_val
 
 
 def _replica_radiance(scene, camera, U, use_nee):

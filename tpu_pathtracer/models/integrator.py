@@ -100,7 +100,13 @@ def trace(
     prev_pdf0 = o[:, 0] * 0.0
     alive0 = prev_pdf0 <= 0.0  # all-True, varying
     prev_delta0 = alive0
-    carry0 = (L0, T0, alive0, o, d, prev_pdf0, prev_delta0, lane_ids)
+    # Local array positions for the final unscatter. lane_ids are GLOBAL
+    # path-sample indices (sharded callers pass pix*spp+s per shard), so
+    # they cannot serve as scatter positions; positions are carried
+    # separately. The +lane_ids*0 stamps shard_map's varying-axes tag on
+    # the iota so the scan carry types match the body outputs.
+    pos0 = jnp.arange(o.shape[0], dtype=jnp.int32) + lane_ids * 0
+    carry0 = (L0, T0, alive0, o, d, prev_pdf0, prev_delta0, lane_ids, pos0)
 
     def body(carry, bounce, do_sort=bounce_sort):
         # Intersect-FIRST structure: the segment produced by the previous
@@ -114,14 +120,14 @@ def trace(
         # in raster order (a tile = consecutive scanlines), which is
         # already packet-coherent — the argsort+permute would be wasted
         # (still presorted=True for intersect: don't re-sort in-call).
-        L, T, alive_in, prev_o, wo, prev_pdf, prev_delta, lids = carry
+        L, T, alive_in, prev_o, wo, prev_pdf, prev_delta, lids, pos = carry
         if do_sort:
             from tpu_pathtracer.ops.pallas.mesh_kernel import packet_sort_key
 
             perm = jnp.argsort(packet_sort_key(prev_o, wo, alive=alive_in))
-            # One packed (N, 16) row gather instead of 16 separate 1-D
-            # gathers — the whole carry rides a single 64 B-row permute.
-            # lids ride as a bitcast (exact for any int32); bools as 0/1.
+            # One packed (N, 17) row gather instead of 17 separate 1-D
+            # gathers — the whole carry rides a single row permute.
+            # lids/pos ride as bitcasts (exact for any int32); bools 0/1.
             packed = jnp.concatenate(
                 [
                     L, T, prev_o, wo,
@@ -129,6 +135,7 @@ def trace(
                     prev_pdf[:, None],
                     prev_delta.astype(jnp.float32)[:, None],
                     lax.bitcast_convert_type(lids, jnp.float32)[:, None],
+                    lax.bitcast_convert_type(pos, jnp.float32)[:, None],
                 ],
                 axis=1,
             )
@@ -139,6 +146,7 @@ def trace(
             prev_pdf = packed[:, 13]
             prev_delta = packed[:, 14] > 0.5
             lids = lax.bitcast_convert_type(packed[:, 15], jnp.int32)
+            pos = lax.bitcast_convert_type(packed[:, 16], jnp.int32)
         hit = intersect(scene, attrs, prev_o, wo, tmin=config.tmin,
                         alive=alive_in, presorted=bounce_sort)
         # Segments actually traced this bounce (honest rays/sec metric).
@@ -279,7 +287,7 @@ def trace(
         # weight must not be differentiated).
         return (
             (L, T, alive, safe_o, safe_d, lax.stop_gradient(pdf),
-             new_prev_delta, lids),
+             new_prev_delta, lids, pos),
             live_rays,
         )
 
@@ -295,7 +303,8 @@ def trace(
         if bounce_sort:
             # Peel bounce 0 (no permute — raster order is coherent), scan
             # the sorted body over the rest, then restore lane order with
-            # one scatter for the whole render.
+            # one scatter for the whole render (by the carried LOCAL
+            # positions — lane_ids are global and shard-relative).
             carry1, y0 = body0(carry0, bounces[0])
             (L, *rest), live_tail = lax.scan(body, carry1, bounces[1:])
             live_counts = jnp.concatenate([y0[None], live_tail])

@@ -238,6 +238,10 @@ class ProgressiveRenderer:
     def iteration(self) -> int:
         return int(self.state.iteration)
 
+    def reset(self) -> None:
+        """Restart accumulation (pathtracer.cu:245 semantics)."""
+        self.state = reset(self.state)
+
     def update_camera(self, camera: Camera) -> None:
         """Camera motion restarts accumulation (main.cpp:209 semantics)."""
         self.camera = camera

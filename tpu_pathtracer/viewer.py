@@ -224,9 +224,7 @@ def run_viewer(
         r = ProgressiveRenderer(scene, camera, config, seed=seed)
 
     def _sync():
-        st = r.state
-        jax.block_until_ready(getattr(st, "radiance_sum", None)
-                              if hasattr(st, "radiance_sum") else st.lr)
+        jax.block_until_ready(r.state)  # any renderer's state pytree
     meter = RenderMeter(camera.width * camera.height * config.spp)
     speed = CAM_TRANSLATE_DELTA
     frames = 0
@@ -290,9 +288,7 @@ def run_viewer(
             if key == "ESC":
                 break
             elif key == "r":
-                r.state = __import__(
-                    "tpu_pathtracer.models.progressive", fromlist=["reset"]
-                ).reset(r.state)
+                r.reset()  # both renderer classes implement it
             elif key == "p":
                 save_png(snapshot_path, np.array(r.image()))
             elif key in ("UP", "DOWN", "LEFT", "RIGHT"):
