@@ -101,3 +101,50 @@ def test_cost_report_and_trace(tmp_path):
         jax.block_until_ready(jax.jit(f)(jnp.ones((32, 32))))
     import os
     assert any(os.scandir(d))  # trace files were written
+
+
+def test_scene_json_with_meshes_and_tri_light(tmp_path):
+    """The JSON format's mesh section: generator parts + an OBJ file merge
+    into one BVH, 'tri' lights make a material emissive, relative OBJ
+    paths resolve against the scene file's directory."""
+    import jax
+
+    from tpu_pathtracer.models import camera as cm
+    from tpu_pathtracer.models.integrator import RenderConfig, render_image
+
+    (tmp_path / "tri.obj").write_text(
+        "v -2 6 -2\nv 2 6 -2\nv 0 6 2\nf 1 2 3\n"
+    )
+    doc = {
+        "camera": {"eye": [0, 4, 12], "look_at": [0, 2, 0], "fov": 60.0},
+        "materials": [
+            {"type": "diffuse", "color": [0.7, 0.7, 0.7]},
+            {"type": "diffuse", "color": [0.8, 0.2, 0.2]},
+            {"type": "diffuse", "color": [1.0, 1.0, 1.0]},
+        ],
+        "meshes": [
+            {"type": "quad", "corners": [[-8, 0, 8], [8, 0, 8],
+                                         [8, 0, -8], [-8, 0, -8]],
+             "material": 0},
+            {"type": "box", "center": [0, 1.5, 0], "size": [2, 3, 2],
+             "rotation_y": 0.4, "material": 1},
+            {"type": "obj", "path": "tri.obj", "material": 2},
+        ],
+        "lights": [{"type": "tri", "material": 2,
+                    "intensity": [25, 25, 25]}],
+    }
+    p = tmp_path / "scene.json"
+    p.write_text(__import__("json").dumps(doc))
+
+    scene, cs = load_scene(str(p))
+    assert scene.mesh is not None and scene.has_tri_lights
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 24, 18,
+                         cs["fov"])
+    img = np.array(render_image(
+        scene, cam, jax.random.key(2),
+        RenderConfig(spp=2, max_bounces=2, use_nee=True)))
+    assert np.isfinite(img).all() and img.max() > 0
+
+    # mesh scenes refuse to serialize (no silent geometry loss)
+    with pytest.raises(ValueError):
+        save_scene(str(tmp_path / "back.json"), scene, cs)
