@@ -23,11 +23,13 @@ if not os.environ.get("TPUPT_TPU_TESTS"):
 jax.config.update("jax_enable_x64", False)
 # The device-count assertion below only applies to the CPU-mesh mode.
 _expect_cpu_mesh = not os.environ.get("TPUPT_TPU_TESTS")
-# Persistent compile cache: XLA:CPU compiles of the bounce scan dominate the
-# suite's wall clock; cache them across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpupt_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NO persistent compile cache for the CPU suite: executable
+# deserialization can abort the whole process (observed twice as
+# "Fatal Python error: Aborted" inside compilation_cache
+# get_executable_and_time at ~60% of a full run, killing pytest). The
+# warm-cache saving was minor (~1300 s either way) and a hard crash in
+# the driver's suite run costs a round. TPU benches keep their own
+# cache (/tmp/tpupt_jax_cache) where recompiles genuinely cost minutes.
 
 if _expect_cpu_mesh:
     assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu"

@@ -37,9 +37,15 @@ def cmd_render(args: argparse.Namespace) -> int:
     import jax
     import numpy as np
 
-    # Persist compiles across runs (remote TPU compiles are minutes-slow).
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tpupt_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # Persist compiles across runs — on TPU only, where remote compiles
+    # are minutes-slow. NOT on CPU: executable deserialization has been
+    # observed to segfault/abort the process (tests/conftest.py note),
+    # and a CLI test enabling this process-wide poisoned the rest of the
+    # pytest run.
+    if jax.devices()[0].platform != "cpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/tpupt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from tpu_pathtracer.io.image import save_hdr, save_png
     from tpu_pathtracer.models import camera as cm
