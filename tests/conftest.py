@@ -33,3 +33,23 @@ _expect_cpu_mesh = not os.environ.get("TPUPT_TPU_TESTS")
 
 if _expect_cpu_mesh:
     assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound the number of live XLA:CPU executables across the suite.
+
+    A full-suite run reliably segfaults (2/2) inside
+    backend_compile_and_load at ~80% through (test_score's FD compile),
+    while the identical tail passes in a fresh process — a cumulative
+    process-state bug in XLA:CPU executable management, not anything in
+    the test itself (the same position previously died inside persistent-
+    cache deserialization instead; see the cache note above). Dropping
+    compiled-function caches between modules keeps the live-executable
+    count bounded so the suite never reaches the failing state.
+    """
+    yield
+    jax.clear_caches()
