@@ -363,3 +363,34 @@ def test_many_prims_sphere_field():
     )
     # distributional agreement (different RNG streams, few samples)
     assert abs(img.mean() - img_x.mean()) < 0.5 * max(img_x.mean(), 0.05)
+
+
+def test_nee_point_light_matches_xla():
+    """Point-light NEE branch (delta light: rsqrt direction/falloff path)
+    through the persistent kernel agrees with the XLA integrator in the
+    same mode (interpret-mode CPU coverage of the branch)."""
+    scene = sc.make_scene(
+        [sc.sphere([0, -1e4 - 1, 0], 1e4, 0)],
+        [sc.diffuse([0.7, 0.7, 0.7])],
+        [sc.point_light([0, 3, 0], [40.0, 40.0, 40.0])],
+    )
+    w, h = 16, 12
+    camera = cm.make_camera([0, 2, 8], [0, 0, 0], [0, 1, 0], w, h, 60.0)
+    st = init_state(w, h, tile_rows=TR)
+    seed = jnp.array([11, 2], jnp.int32)
+    for _ in range(6):
+        st, _ = persistent_step(
+            scene, pack_camera(camera), seed, st, budget=8, width=w,
+            height=h, max_bounces=MB, tile_rows=TR, use_nee=True,
+            interpret=True,
+        )
+    img = np.asarray(state_image(st, w, h))
+    assert np.isfinite(img).all() and img.max() > 0.1
+    acc = 0
+    for i in range(4):
+        acc = acc + render_image(
+            scene, camera, jax.random.key(70 + i),
+            RenderConfig(spp=16, max_bounces=MB, use_nee=True),
+        )
+    ref = np.asarray(acc / 4)
+    assert abs(img.mean() - ref.mean()) / ref.mean() < 0.08

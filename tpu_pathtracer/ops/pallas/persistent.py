@@ -228,9 +228,12 @@ def _persistent_kernel(
         ar = fzeros; ag = fzeros; ab = fzeros
         for p in range(n_prims):
             is_p = best_p == p
-            nx = jnp.where(is_p, (hx - prims_ref[p, 0]) / prims_ref[p, 3], nx)
-            ny = jnp.where(is_p, (hy - prims_ref[p, 1]) / prims_ref[p, 3], ny)
-            nz = jnp.where(is_p, (hz - prims_ref[p, 2]) / prims_ref[p, 3], nz)
+            # scalar reciprocal once per prim; vector divides are multi-op
+            # on the VPU and this loop runs every wavefront iteration
+            inv_r = 1.0 / prims_ref[p, 3]
+            nx = jnp.where(is_p, (hx - prims_ref[p, 0]) * inv_r, nx)
+            ny = jnp.where(is_p, (hy - prims_ref[p, 1]) * inv_r, ny)
+            nz = jnp.where(is_p, (hz - prims_ref[p, 2]) * inv_r, nz)
             ar = jnp.where(is_p, prims_ref[p, 4], ar)
             ag = jnp.where(is_p, prims_ref[p, 5], ag)
             ab = jnp.where(is_p, prims_ref[p, 6], ab)
@@ -296,8 +299,8 @@ def _persistent_kernel(
             cell = n_samp % kk
             ccx = (cell % strat_k).astype(jnp.float32)
             ccy = (cell // strat_k).astype(jnp.float32)
-            jx = (ccx + u_cam) / strat_k - 0.5
-            jy = (ccy + v_cam) / strat_k - 0.5
+            jx = (ccx + u_cam) * (1.0 / strat_k) - 0.5
+            jy = (ccy + v_cam) * (1.0 / strat_k) - 0.5
         else:
             jx = u_cam - 0.5
             jy = v_cam - 0.5
@@ -403,8 +406,9 @@ def _persistent_kernel(
                     wrz = prims_ref[lprim, 2] - hz
                     rl = prims_ref[lprim, 3]
                     d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
-                    distc = jnp.sqrt(jnp.maximum(d2l, 1e-20))
-                    wcx = wrx / distc; wcy = wry / distc; wcz = wrz / distc
+                    inv_dc = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
+                    wcx = wrx * inv_dc; wcy = wry * inv_dc
+                    wcz = wrz * inv_dc
                     sin2 = jnp.minimum(rl * rl / jnp.maximum(d2l, 1e-12), 1.0)
                     ctm = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
                     cth = 1.0 - ul1 * (1.0 - ctm)
@@ -427,9 +431,10 @@ def _persistent_kernel(
                     detq = bq * bq - d2l + rl * rl
                     thit = bq - jnp.sqrt(jnp.maximum(detq, 0.0))
                     valid = (detq >= 0.0) & (thit > tmin) & (d2l > rl * rl)
-                    nsx = (hx + wlx * thit - prims_ref[lprim, 0]) / rl
-                    nsy = (hy + wly * thit - prims_ref[lprim, 1]) / rl
-                    nsz = (hz + wlz * thit - prims_ref[lprim, 2]) / rl
+                    inv_rl = 1.0 / rl  # scalar
+                    nsx = (hx + wlx * thit - prims_ref[lprim, 0]) * inv_rl
+                    nsy = (hy + wly * thit - prims_ref[lprim, 1]) * inv_rl
+                    nsz = (hz + wlz * thit - prims_ref[lprim, 2]) * inv_rl
                     front = _dot3(nsx, nsy, nsz, -wlx, -wly, -wlz) > 0.0
                     valid = valid & front
                     pdf_l = sel / (
@@ -443,9 +448,14 @@ def _persistent_kernel(
                     wry = lights_ref[li, 1] - hy
                     wrz = lights_ref[li, 2] - hz
                     d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
-                    dist_l = jnp.sqrt(jnp.maximum(d2l, 1e-20))
-                    wlx = wrx / dist_l; wly = wry / dist_l; wlz = wrz / dist_l
-                    inv_d2 = 1.0 / jnp.maximum(d2l, 1e-12)
+                    # rsqrt once: direction, distance, and 1/d^2 falloff
+                    # all follow by multiplies (d2l ~ 0 is killed by the
+                    # dist_l > tmin gate below, so the clamp is safe)
+                    inv_dl = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
+                    dist_l = d2l * inv_dl
+                    wlx = wrx * inv_dl; wly = wry * inv_dl
+                    wlz = wrz * inv_dl
+                    inv_d2 = inv_dl * inv_dl
                     rad_r = ir_l * inv_d2
                     rad_g = ig_l * inv_d2
                     rad_b = ib_l * inv_d2
@@ -574,8 +584,15 @@ def _persistent_kernel(
         f_black = (fr <= 0.0) & (fg <= 0.0) & (fb <= 0.0)
         contrib_ok = ~f_black & (pdf > 0.0)
 
-        cos_wi = jnp.abs(_dot3(wix, wiy, wiz, nx, ny, nz))
-        wgt = cos_wi / jnp.maximum(pdf, 1e-20)
+        # cos/pdf without the vector divide: diffuse lanes have
+        # cos = ldz and pdf = ldz/pi, so the weight is exactly pi
+        # (lanes with pdf_d == 0 are killed by contrib_ok regardless);
+        # delta lanes have pdf == 1, so the weight is just |cos|.
+        if spec_prims or trans_prims:
+            cos_wi = jnp.abs(_dot3(wix, wiy, wiz, nx, ny, nz))
+            wgt = jnp.where(is_d, math.pi, cos_wi)
+        else:
+            wgt = math.pi
         step_ok = act & contrib_ok
         Tr = jnp.where(step_ok, Tr * fr * wgt, Tr)
         Tg = jnp.where(step_ok, Tg * fg * wgt, Tg)

@@ -154,9 +154,12 @@ def _replay_kernel(
         ar = fzeros; ag = fzeros; ab = fzeros
         for p in range(n_prims):
             is_p = best_p == p
-            nx = jnp.where(is_p, (hx - prims_ref[p, 0]) / prims_ref[p, 3], nx)
-            ny = jnp.where(is_p, (hy - prims_ref[p, 1]) / prims_ref[p, 3], ny)
-            nz = jnp.where(is_p, (hz - prims_ref[p, 2]) / prims_ref[p, 3], nz)
+            # scalar reciprocal once per prim; vector divides are multi-op
+            # on the VPU and this loop runs every replay step
+            inv_r = 1.0 / prims_ref[p, 3]
+            nx = jnp.where(is_p, (hx - prims_ref[p, 0]) * inv_r, nx)
+            ny = jnp.where(is_p, (hy - prims_ref[p, 1]) * inv_r, ny)
+            nz = jnp.where(is_p, (hz - prims_ref[p, 2]) * inv_r, nz)
             ar = jnp.where(is_p, prims_ref[p, 4], ar)
             ag = jnp.where(is_p, prims_ref[p, 5], ag)
             ab = jnp.where(is_p, prims_ref[p, 6], ab)
@@ -294,8 +297,9 @@ def _replay_kernel(
                     wrz = prims_ref[lprim, 2] - hz
                     rl = prims_ref[lprim, 3]
                     d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
-                    distc = jnp.sqrt(jnp.maximum(d2l, 1e-20))
-                    wcx = wrx / distc; wcy = wry / distc; wcz = wrz / distc
+                    inv_dc = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
+                    wcx = wrx * inv_dc; wcy = wry * inv_dc
+                    wcz = wrz * inv_dc
                     sin2 = jnp.minimum(rl * rl / jnp.maximum(d2l, 1e-12), 1.0)
                     ctm = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
                     cth = 1.0 - ul1 * (1.0 - ctm)
@@ -318,9 +322,10 @@ def _replay_kernel(
                     detq = bq * bq - d2l + rl * rl
                     thit = bq - jnp.sqrt(jnp.maximum(detq, 0.0))
                     valid = (detq >= 0.0) & (thit > tmin) & (d2l > rl * rl)
-                    nsx = (hx + wlx * thit - prims_ref[lprim, 0]) / rl
-                    nsy = (hy + wly * thit - prims_ref[lprim, 1]) / rl
-                    nsz = (hz + wlz * thit - prims_ref[lprim, 2]) / rl
+                    inv_rl = 1.0 / rl  # scalar
+                    nsx = (hx + wlx * thit - prims_ref[lprim, 0]) * inv_rl
+                    nsy = (hy + wly * thit - prims_ref[lprim, 1]) * inv_rl
+                    nsz = (hz + wlz * thit - prims_ref[lprim, 2]) * inv_rl
                     front = _dot3(nsx, nsy, nsz, -wlx, -wly, -wlz) > 0.0
                     valid = valid & front
                     pdf_l = sel / (
@@ -334,9 +339,14 @@ def _replay_kernel(
                     wry = lights_ref[li, 1] - hy
                     wrz = lights_ref[li, 2] - hz
                     d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
-                    dist_l = jnp.sqrt(jnp.maximum(d2l, 1e-20))
-                    wlx = wrx / dist_l; wly = wry / dist_l; wlz = wrz / dist_l
-                    inv_d2 = 1.0 / jnp.maximum(d2l, 1e-12)
+                    # rsqrt once: direction, distance, and 1/d^2 falloff
+                    # all follow by multiplies (d2l ~ 0 is killed by the
+                    # dist_l > tmin gate below, so the clamp is safe)
+                    inv_dl = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
+                    dist_l = d2l * inv_dl
+                    wlx = wrx * inv_dl; wly = wry * inv_dl
+                    wlz = wrz * inv_dl
+                    inv_d2 = inv_dl * inv_dl
                     rad_r = ir_l * inv_d2
                     rad_g = ig_l * inv_d2
                     rad_b = ib_l * inv_d2
@@ -483,8 +493,15 @@ def _replay_kernel(
             cA[mi][1] += (Lg * okf - nee_g * actf) * mf
             cA[mi][2] += (Lb * okf - nee_b * actf) * mf
 
-        cos_wi = jnp.abs(_dot3(wix, wiy, wiz, nx, ny, nz))
-        wgt = cos_wi / jnp.maximum(pdf, 1e-20)
+        # cos/pdf without the vector divide: diffuse lanes have
+        # cos = ldz and pdf = ldz/pi, so the weight is exactly pi
+        # (lanes with pdf_d == 0 are killed by contrib_ok regardless);
+        # delta lanes have pdf == 1, so the weight is just |cos|.
+        if spec_prims or trans_prims:
+            cos_wi = jnp.abs(_dot3(wix, wiy, wiz, nx, ny, nz))
+            wgt = jnp.where(is_d, math.pi, cos_wi)
+        else:
+            wgt = math.pi
         Tr = jnp.where(step_ok, Tr * fr * wgt, Tr)
         Tg = jnp.where(step_ok, Tg * fg * wgt, Tg)
         Tb = jnp.where(step_ok, Tb * fb * wgt, Tb)
