@@ -285,6 +285,43 @@ def test_sharded_bit_identical(cornell):
             np.testing.assert_array_equal(a, b, err_msg=f"{shape} {f}")
 
 
+def test_sharded_step_has_no_nonscalar_collectives(cornell):
+    """The sharded step's compiled HLO contains no collectives other than
+    the scalar live-ray psum: per-shard work is independent (global-tile
+    addressing), so multi-chip scaling is linear by construction — the
+    architectural basis for the >= 0.9 multi-host scaling target
+    (BASELINE.md). A regression that introduces a resharding gather or a
+    per-lane all-reduce into the hot loop fails here at compile time."""
+    from functools import partial as _partial
+
+    from tpu_pathtracer.parallel.mesh import make_mesh
+    from tpu_pathtracer.parallel.persistent_sharded import (
+        init_state_sharded, persistent_step_sharded,
+    )
+
+    scene, _, cp = cornell
+    mesh = make_mesh(jax.devices(), n_tile=4, n_sample=2)
+    st = init_state_sharded(W, H, mesh, tile_rows=TR)
+    seed = jnp.array([5, 11], jnp.int32)
+    step = _partial(
+        persistent_step_sharded, mesh=mesh, budget=4, width=W, height=H,
+        max_bounces=MB, tile_rows=TR, interpret=True,
+    )
+    hlo = jax.jit(step).lower(scene, cp, seed, st).compile().as_text()
+    import re
+
+    for line in hlo.splitlines():
+        if re.search(r"\b(all-gather|collective-permute|all-to-all)\b",
+                     line):
+            raise AssertionError(f"unexpected collective: {line.strip()}")
+        if "all-reduce" in line and "=" in line:
+            # the only allowed collective: the scalar live-ray counter
+            shape = line.split("=", 1)[1].strip().split(" ")[0]
+            assert re.match(r"^[a-z0-9]+\[\]", shape), (
+                f"non-scalar all-reduce: {line.strip()}"
+            )
+
+
 def test_persistent_renderer_checkpoint_resume(tmp_path, cornell):
     """PersistentRenderer + orbax snapshot: resume-from-checkpoint
     reproduces the uninterrupted render bit-for-bit (VERDICT item 2:
