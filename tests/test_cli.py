@@ -59,3 +59,13 @@ def test_render_json_scene_with_nee(tmp_path):
     ])
     assert rc == 0
     assert _read_png_size(out) == (16, 12)
+
+
+def test_invert_kernel_estimator_smoke():
+    """CLI inverse-rendering demo through the fused-kernel estimator
+    (interpret mode on CPU): runs, prints, loss path finite."""
+    rc = cli.main([
+        "invert", "--size", "12x8", "--spp", "2", "--steps", "2",
+        "--estimator", "kernel",
+    ])
+    assert rc == 0

@@ -197,11 +197,16 @@ def cmd_invert(args: argparse.Namespace) -> int:
     scene, cs = sc.cornell_spheres()
     camera = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], w, h, cs["fov"])
     config = RenderConfig(spp=args.spp, max_bounces=3)
-    mesh = make_mesh()
     key = jax.random.key(args.seed)
 
-    target = inverse.render_target(scene, camera, key, config,
-                                   n_iterations=1, base_iteration=0)
+    estimator = args.estimator
+    on_tpu = jax.devices()[0].platform == "axon"
+    if estimator == "auto":
+        # fused value-and-grad kernel on TPU (one walk per step, ~38x the
+        # replay path); sharded path-replay elsewhere (the kernel would
+        # need the slow interpreter on CPU)
+        estimator = "kernel" if on_tpu else "replay"
+
     params0 = dict(inverse.params_of(scene))
     params0["mat_color"] = scene.mat_color.at[3].set(
         jnp.asarray([0.3, 0.3, 0.3]))
@@ -209,10 +214,23 @@ def cmd_invert(args: argparse.Namespace) -> int:
 
     optimizer = inverse.make_optimizer(lr=args.lr)
     state = inverse.init_state(scene, optimizer, params0)
-    step_fn = inverse.make_train_step(scene, camera, config, mesh, optimizer,
-                                      fixed_iteration=0)
+    if estimator == "kernel":
+        seed2 = jnp.asarray([args.seed, 0], jnp.int32)
+        target = inverse.render_target_kernel(
+            scene, camera, seed2, config, iteration=0, interpret=not on_tpu)
+        step_fn = inverse.make_kernel_train_step(
+            scene, camera, config, optimizer, fixed_iteration=0,
+            interpret=not on_tpu)
+        step_args = (target, seed2)
+    else:
+        mesh = make_mesh()
+        target = inverse.render_target(scene, camera, key, config,
+                                       n_iterations=1, base_iteration=0)
+        step_fn = inverse.make_train_step(scene, camera, config, mesh,
+                                          optimizer, fixed_iteration=0)
+        step_args = (target, key)
     for i in range(args.steps):
-        state, loss = step_fn(state, target, key)
+        state, loss = step_fn(state, *step_args)
         if i % 5 == 0 or i == args.steps - 1:
             print(f"step {i:4d}  loss {float(loss):.6f}")
     got = np.array(state.params["mat_color"][3])
@@ -284,6 +302,11 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--steps", type=int, default=30)
     pi.add_argument("--lr", type=float, default=5e-2)
     pi.add_argument("--seed", type=int, default=0)
+    pi.add_argument("--estimator", choices=["auto", "replay", "kernel"],
+                    default="auto",
+                    help="auto = fused value-and-grad kernel on TPU "
+                         "(one walk per step), sharded path-replay "
+                         "elsewhere")
     pi.add_argument("-o", "--output", help="render recovered scene to PNG")
     pi.set_defaults(fn=cmd_invert)
 

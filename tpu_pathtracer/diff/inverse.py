@@ -306,3 +306,37 @@ def render_target(
         img = render(scene, camera, key, config, iteration=base_iteration + it)
         acc = acc + img.reshape(-1, 3)
     return acc / n_iterations
+
+
+def render_target_kernel(
+    scene: Scene, camera: Camera, seed: Array, config: RenderConfig,
+    *, iteration: int = 0, tile_rows: int = 16, interpret: bool = False,
+) -> Array:
+    """(H*W, 3) target rendered by the fused kernel's OWN forward walk.
+
+    For same-seed inverse rendering with make_kernel_train_step the
+    target must come from the kernel's estimator (its RNG streams and
+    polar warpings differ from the XLA path's), rendered at the same
+    fixed iteration — then the loss is exactly zero at the true
+    parameters."""
+    import numpy as np
+
+    from tpu_pathtracer.ops.pallas.replay_kernel import (
+        lanes_layout, replay_call,
+    )
+    from tpu_pathtracer.ops.pallas.trace_kernel import pack_camera
+
+    w, h = camera.width, camera.height
+    rows_total, n_lanes = lanes_layout(w, h, config.spp, tile_rows)
+    aux0 = jnp.zeros((rows_total, 128, 3), jnp.float32)
+    L_lanes, *_ = replay_call(
+        scene, pack_camera(camera), seed, jnp.int32(iteration), aux0,
+        spp=config.spp, width=w, height=h, max_bounces=config.max_bounces,
+        rr_start=config.rr_start, use_nee=config.use_nee,
+        use_dof=camera.use_dof, tile_rows=tile_rows, mode="vjp",
+        interpret=interpret,
+    )
+    img = np.asarray(L_lanes).reshape(-1, 3)[:n_lanes]
+    return jnp.asarray(
+        img.reshape(h * w, config.spp, 3).mean(axis=1)
+    )
