@@ -28,8 +28,12 @@ _expect_cpu_mesh = not os.environ.get("TPUPT_TPU_TESTS")
 # "Fatal Python error: Aborted" inside compilation_cache
 # get_executable_and_time at ~60% of a full run, killing pytest). The
 # warm-cache saving was minor (~1300 s either way) and a hard crash in
-# the driver's suite run costs a round. TPU benches keep their own
-# cache (/tmp/tpupt_jax_cache) where recompiles genuinely cost minutes.
+# the driver's suite run costs a round. TPU runs (TPUPT_TPU_TESTS=1)
+# keep the cache — remote compiles genuinely cost minutes there and the
+# crash has never been observed on the TPU backend.
+if not _expect_cpu_mesh:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpupt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 if _expect_cpu_mesh:
     assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu"
@@ -50,6 +54,11 @@ def _clear_jax_caches_per_module():
     cache deserialization instead; see the cache note above). Dropping
     compiled-function caches between modules keeps the live-executable
     count bounded so the suite never reaches the failing state.
+
+    CPU-suite only: a TPU run (TPUPT_TPU_TESTS=1) has minutes-slow
+    remote compiles and no observed crash — dropping its executables
+    between modules would only burn wall clock.
     """
     yield
-    jax.clear_caches()
+    if _expect_cpu_mesh:
+        jax.clear_caches()

@@ -49,6 +49,15 @@ def test_scene_from_dict_validation():
             "materials": [{"type": "diffuse", "color": [1, 1, 1]}],
             "spheres": [{"center": [0, 0, 0], "radius": 1, "material": 5}],
         })
+    # mesh triangles referencing an undeclared material must fail fast
+    # too (they would otherwise gather a zero padding row and render
+    # black with no diagnostic)
+    with pytest.raises(ValueError, match="material id"):
+        scene_from_dict({
+            "materials": [{"type": "diffuse", "color": [1, 1, 1]}],
+            "meshes": [{"type": "box", "center": [0, 0, 0],
+                        "size": [1, 1, 1], "material": 5}],
+        })
 
 
 def test_cli_render_and_output(tmp_path):

@@ -311,8 +311,8 @@ def test_sharded_step_has_no_nonscalar_collectives(cornell):
     import re
 
     for line in hlo.splitlines():
-        if re.search(r"\b(all-gather|collective-permute|all-to-all)\b",
-                     line):
+        if re.search(r"\b(all-gather|collective-permute|all-to-all"
+                     r"|reduce-scatter|collective-broadcast)\b", line):
             raise AssertionError(f"unexpected collective: {line.strip()}")
         if "all-reduce" in line and "=" in line:
             # the only allowed collective: the scalar live-ray counter

@@ -319,8 +319,6 @@ def render_target_kernel(
     polar warpings differ from the XLA path's), rendered at the same
     fixed iteration — then the loss is exactly zero at the true
     parameters."""
-    import numpy as np
-
     from tpu_pathtracer.ops.pallas.replay_kernel import (
         lanes_layout, replay_call,
     )
@@ -336,7 +334,5 @@ def render_target_kernel(
         use_dof=camera.use_dof, tile_rows=tile_rows, mode="vjp",
         interpret=interpret,
     )
-    img = np.asarray(L_lanes).reshape(-1, 3)[:n_lanes]
-    return jnp.asarray(
-        img.reshape(h * w, config.spp, 3).mean(axis=1)
-    )
+    lanes = L_lanes.reshape(-1, 3)[:n_lanes]
+    return lanes.reshape(h * w, config.spp, 3).mean(axis=1)

@@ -236,6 +236,15 @@ def make_scene(
         if li >= n_l:
             raise ValueError(
                 f"sphere {i}: light id {li} out of range (have {n_l} lights)")
+    if mesh is not None:
+        mids = np.asarray(mesh.material_id)
+        # padding rows carry id 0 by construction; real triangles must
+        # reference a declared material (same fail-fast policy as spheres)
+        if mids.size and (mids.min() < 0 or mids.max() >= n_m):
+            bad = int(mids.min()) if mids.min() < 0 else int(mids.max())
+            raise ValueError(
+                f"mesh: triangle material id {bad} out of range "
+                f"(have {n_m} materials)")
     P, M, L = _pad_to(n_p), _pad_to(n_m), _pad_to(max(n_l, 1))
 
     centers = np.zeros((P, 3), np.float32)
