@@ -41,7 +41,11 @@ def _kernel(x_ref, o_ref, *, chain: int):
 
 @functools.partial(jax.jit, static_argnames=("rows", "chain", "passes",
                                              "interpret"))
-def _run(x, rows: int, chain: int, passes: int, interpret: bool = False):
+def _run(x, salt, rows: int, chain: int, passes: int,
+         interpret: bool = False):
+    # salt the block so no two invocations share an input hash — the
+    # remote terminal memoizes repeated executions (docs/STATUS.md)
+    x = x + salt.astype(jnp.float32) * 1e-12
     call = pl.pallas_call(
         functools.partial(_kernel, chain=chain),
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -52,17 +56,23 @@ def _run(x, rows: int, chain: int, passes: int, interpret: bool = False):
         return call(v), None
 
     out, _ = jax.lax.scan(body, x, None, length=passes)
-    return out
+    # scalar result: the host-side fetch of this value is the only
+    # reliable sync point through the remote tunnel (block_until_ready
+    # returns before device completion there)
+    return out.sum()
 
 
 def measure(rows: int = 2048, passes: int = 64, interpret: bool = False):
     x = jnp.ones((rows, LANES), jnp.float32) * 0.5
     fmas_per_pass = rows * LANES * (CHAIN + 2)
 
+    salt = [int(time.time() * 1e6) % (1 << 30)]
+
     def timed(p):
+        salt[0] += 1
+        s = jnp.int32(salt[0])
         t0 = time.perf_counter()
-        r = _run(x, rows, CHAIN, p, interpret)
-        r.block_until_ready()
+        float(_run(x, s, rows, CHAIN, p, interpret))
         return time.perf_counter() - t0
 
     timed(1)
