@@ -1,0 +1,538 @@
+"""Persistent fused value-and-grad kernel (ops/pallas/replay_persistent).
+
+Runs on CPU through the Pallas interpreter with external uniforms. The
+oracle is jax.value_and_grad of a pure-JAX REPLICA of the kernel's
+regeneration schedule fed the SAME uniform stream, mirroring the kernel's
+intersect/shading op order exactly (the library intersect's different f32
+formulation flips closest-hit decisions on the 1e5-radius walls, which a
+regeneration schedule then cascades — so unlike test_replay_kernel's
+replica, this one re-implements the kernel's per-prim quadratic).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pathtracer.models import camera as cm, scene as sc
+from tpu_pathtracer.ops.pallas.replay_persistent import (
+    persistent_mse_value_and_grad, persistent_replay_call,
+    pixel_lanes_layout, target_to_lanes,
+)
+from tpu_pathtracer.ops.pallas.trace_kernel import (
+    LANES, BIG, INV_PI, pack_camera, pack_lights,
+)
+
+W, H, TR = 16, 12, 8
+MB, RRS = 3, 3
+SPP = 2
+BUDGET = 10
+
+sg = jax.lax.stop_gradient
+
+
+def _uniform_blocks(seed, iteration, budget, n_draw, n_tiles):
+    """The kernel's external-RNG stream: per (tile, iteration, draw) rows."""
+    rkey = jax.random.fold_in(
+        jax.random.fold_in(jax.random.key(2), seed[0] + 131 * seed[1]),
+        iteration,
+    )
+    blk = budget * n_draw * TR
+    U = np.stack([
+        np.asarray(jax.random.uniform(
+            jax.random.fold_in(rkey, t), (blk, LANES), jnp.float32
+        ))
+        for t in range(n_tiles)
+    ]).reshape(n_tiles, budget, n_draw, TR, LANES)
+    return U
+
+
+def _replica_loss_fn(scene, camera, target, seed, budget, use_nee,
+                     spp=SPP, strat_k=2):
+    """Differentiable replica of the persistent fwd+bwd estimator:
+    loss(mat_color, light_intensity) on the kernel's uniform stream."""
+    cp = np.asarray(pack_camera(camera))
+    ltab = np.asarray(pack_lights(scene))
+    n_lanes = W * H
+    n_tiles = pixel_lanes_layout(W, H, TR)[0] // TR
+    n_lanes_tot = n_tiles * TR * LANES
+    n_draw = 2 + 3 + (3 if use_nee else 0)
+    U = _uniform_blocks(seed, 0, budget, n_draw, n_tiles)
+
+    def unif(it, j):
+        return jnp.asarray(
+            U[:, it, j].reshape(-1)[:n_lanes_tot].astype(np.float32)
+        )
+
+    lane = jnp.arange(n_lanes_tot, dtype=jnp.int32)
+    in_domain = lane < n_lanes
+    px = (lane % W).astype(jnp.float32)
+    py = (lane // W).astype(jnp.float32)
+    mids = scene.prim_material_ids
+    n_prims = int(scene.num_prims)
+    coefs = np.asarray(scene.mat_coef)
+    mtypes = np.asarray(scene.prim_mtypes)
+    centers = np.asarray(scene.centers)[:n_prims]
+    radii = np.asarray(scene.radii)[:n_prims]
+    lights_static = tuple(scene.light_structure)
+    emissive = tuple(scene.emissive_prims)
+    spec = tuple(i for i in range(n_prims) if mtypes[i] == 1)
+    trans = tuple(i for i in range(n_prims) if mtypes[i] == 2)
+    tmin = sc.EPSILON
+    kk = strat_k * strat_k
+
+    def dot3(ax, ay, az, bx, by, bz):
+        return ax * bx + ay * by + az * bz
+
+    def norm3(x, y, z):
+        inv = jax.lax.rsqrt(jnp.maximum(dot3(x, y, z, x, y, z), 1e-20))
+        return x * inv, y * inv, z * inv
+
+    def loss_fn(mat_color, light_intensity):
+        # differentiable per-prim tables (pack_prims's provenance)
+        alb = [mat_color[mids[p]] for p in range(n_prims)]
+        emis = {}
+        for li, (ltype, lprim) in enumerate(lights_static):
+            if ltype == 1 and lprim >= 0:
+                emis[lprim] = light_intensity[li]
+
+        z = jnp.zeros(n_lanes_tot)
+        Ls = [z, z, z]
+        n_s = jnp.zeros(n_lanes_tot, jnp.int32)
+        o = [z, z, z]
+        d = [z, z, z]
+        T = [z + 1.0, z + 1.0, z + 1.0]
+        C = [z, z, z]
+        bounce = jnp.zeros(n_lanes_tot, jnp.int32)
+        alive = jnp.zeros(n_lanes_tot, bool)
+        prev_pdf = z
+        prev_delta = jnp.zeros(n_lanes_tot, bool)
+
+        for it in range(budget):
+            u_cam, v_cam = unif(it, 0), unif(it, 1)
+            u1, u2, u3 = unif(it, 2), unif(it, 3), unif(it, 4)
+            if use_nee:
+                ul1, ul2, usel = unif(it, 5), unif(it, 6), unif(it, 7)
+
+            regen = (~alive) & in_domain & (n_s < spp)
+            cell = n_s % kk
+            ccx = (cell % strat_k).astype(jnp.float32)
+            ccy = (cell // strat_k).astype(jnp.float32)
+            jx = (ccx + u_cam) * (1.0 / strat_k) - 0.5
+            jy = (ccy + v_cam) * (1.0 / strat_k) - 0.5
+            sx = px + jx
+            sy = py + jy
+            gdx = cp[0] - cp[6] * sy + cp[3] * sx
+            gdy = cp[1] - cp[7] * sy + cp[4] * sx
+            gdz = cp[2] - cp[8] * sy + cp[5] * sx
+            gdx, gdy, gdz = norm3(gdx, gdy, gdz)
+            for c, g in enumerate((gdx, gdy, gdz)):
+                d[c] = jnp.where(regen, g, d[c])
+                o[c] = jnp.where(regen, cp[9 + c], o[c])
+                T[c] = jnp.where(regen, 1.0, T[c])
+                C[c] = jnp.where(regen, 0.0, C[c])
+            bounce = jnp.where(regen, 0, bounce)
+            prev_pdf = jnp.where(regen, 0.0, prev_pdf)
+            prev_delta = prev_delta | regen
+            alive = alive | regen
+
+            # intersect: the kernel's per-prim quadratic, op-for-op
+            best_t = z + BIG
+            best_p = jnp.zeros(n_lanes_tot, jnp.int32)
+            for p in range(n_prims):
+                opx = centers[p, 0] - o[0]
+                opy = centers[p, 1] - o[1]
+                opz = centers[p, 2] - o[2]
+                b = dot3(opx, opy, opz, d[0], d[1], d[2])
+                det = (b * b - dot3(opx, opy, opz, opx, opy, opz)
+                       + radii[p] * radii[p])
+                sq = jnp.sqrt(jnp.maximum(det, 0.0))
+                t0 = b - sq
+                t = jnp.where(t0 > tmin, t0, b + sq)
+                closer = (det >= 0.0) & (t > tmin) & (t < best_t)
+                best_t = jnp.where(closer, t, best_t)
+                best_p = jnp.where(closer, p, best_p)
+            hit = best_t < (0.5 * BIG)
+            hx = o[0] + d[0] * best_t
+            hy = o[1] + d[1] * best_t
+            hz = o[2] + d[2] * best_t
+            nx = z; ny = z; nz = z
+            ar = z; ag = z; ab = z
+            coef = z
+            er = z; eg = z; eb = z
+            for p in range(n_prims):
+                is_p = best_p == p
+                inv_r = 1.0 / float(radii[p])
+                nx = jnp.where(is_p, (hx - centers[p, 0]) * inv_r, nx)
+                ny = jnp.where(is_p, (hy - centers[p, 1]) * inv_r, ny)
+                nz = jnp.where(is_p, (hz - centers[p, 2]) * inv_r, nz)
+                ar = jnp.where(is_p, alb[p][0], ar)
+                ag = jnp.where(is_p, alb[p][1], ag)
+                ab = jnp.where(is_p, alb[p][2], ab)
+                coef = jnp.where(is_p, float(coefs[mids[p]]), coef)
+                if p in emis:
+                    er = jnp.where(is_p, emis[p][0], er)
+                    eg = jnp.where(is_p, emis[p][1], eg)
+                    eb = jnp.where(is_p, emis[p][2], eb)
+            is_s = jnp.zeros(n_lanes_tot, bool)
+            for p in spec:
+                is_s = is_s | (best_p == p)
+            is_t = jnp.zeros(n_lanes_tot, bool)
+            for p in trans:
+                is_t = is_t | (best_p == p)
+            act = alive & hit
+            wox, woy, woz = d
+
+            one_sided = dot3(nx, ny, nz, -wox, -woy, -woz) > 0.0
+            take = (act & one_sided).astype(jnp.float32)
+            if use_nee:
+                ldp = z
+                for li, (ltype, lprim) in enumerate(lights_static):
+                    if ltype != 1 or lprim < 0:
+                        continue
+                    dlx = centers[lprim, 0] - o[0]
+                    dly = centers[lprim, 1] - o[1]
+                    dlz = centers[lprim, 2] - o[2]
+                    d2l = dot3(dlx, dly, dlz, dlx, dly, dlz)
+                    rl = float(radii[lprim])
+                    sin2 = jnp.minimum(
+                        rl * rl / jnp.maximum(d2l, 1e-12), 1.0)
+                    ctm = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+                    pc = 1.0 / (2.0 * jnp.pi * jnp.maximum(1.0 - ctm,
+                                                           1e-12))
+                    pc = jnp.where(d2l > rl * rl, pc, 0.0)
+                    ldp = jnp.where(best_p == lprim, pc * ltab[li, 7], ldp)
+                pp2 = sg(prev_pdf * prev_pdf)
+                ldp = sg(ldp)
+                w_emit = jnp.where(
+                    prev_delta, 1.0,
+                    pp2 / jnp.maximum(pp2 + ldp * ldp, 1e-20),
+                )
+                take = take * w_emit
+            C[0] = C[0] + T[0] * er * take
+            C[1] = C[1] + T[1] * eg * take
+            C[2] = C[2] + T[2] * eb * take
+
+            is_diff = ~(is_s | is_t)
+            if use_nee:
+                n_lights = len(lights_static)
+                for li, (ltype, lprim) in enumerate(lights_static):
+                    lo, sel = float(ltab[li, 6]), float(ltab[li, 7])
+                    if li == n_lights - 1:
+                        m_l = usel >= lo
+                    else:
+                        m_l = (usel >= lo) & (usel < lo + sel)
+                    I_l = light_intensity[li]
+                    if ltype == 1 and lprim >= 0:
+                        wrx = centers[lprim, 0] - hx
+                        wry = centers[lprim, 1] - hy
+                        wrz = centers[lprim, 2] - hz
+                        rl = float(radii[lprim])
+                        d2l = dot3(wrx, wry, wrz, wrx, wry, wrz)
+                        inv_dc = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
+                        wcx = wrx * inv_dc; wcy = wry * inv_dc
+                        wcz = wrz * inv_dc
+                        sin2 = jnp.minimum(
+                            rl * rl / jnp.maximum(d2l, 1e-12), 1.0)
+                        ctm = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+                        cth = 1.0 - ul1 * (1.0 - ctm)
+                        sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+                        phi = (2.0 * np.pi) * ul2
+                        usex = jnp.abs(wcx) > jnp.abs(wcz)
+                        ax = jnp.where(usex, -wcy, 0.0)
+                        ay = jnp.where(usex, wcx, -wcz)
+                        az = jnp.where(usex, 0.0, wcy)
+                        ax, ay, az = norm3(ax, ay, az)
+                        bx = wcy * az - wcz * ay
+                        by = wcz * ax - wcx * az
+                        bz = wcx * ay - wcy * ax
+                        cp_ = jnp.cos(phi) * sth
+                        sp_ = jnp.sin(phi) * sth
+                        wlx = ax * cp_ + bx * sp_ + wcx * cth
+                        wly = ay * cp_ + by * sp_ + wcy * cth
+                        wlz = az * cp_ + bz * sp_ + wcz * cth
+                        bq = dot3(wrx, wry, wrz, wlx, wly, wlz)
+                        detq = bq * bq - d2l + rl * rl
+                        thit = bq - jnp.sqrt(jnp.maximum(detq, 0.0))
+                        valid = ((detq >= 0.0) & (thit > tmin)
+                                 & (d2l > rl * rl))
+                        inv_rl = 1.0 / rl
+                        nsx = (hx + wlx * thit - centers[lprim, 0]) * inv_rl
+                        nsy = (hy + wly * thit - centers[lprim, 1]) * inv_rl
+                        nsz = (hz + wlz * thit - centers[lprim, 2]) * inv_rl
+                        front = dot3(nsx, nsy, nsz,
+                                     -wlx, -wly, -wlz) > 0.0
+                        valid = valid & front
+                        pdf_l = sel / (2.0 * np.pi
+                                       * jnp.maximum(1.0 - ctm, 1e-12))
+                        dist_l = thit
+                        rad = (I_l[0] + z, I_l[1] + z, I_l[2] + z)
+                        is_delta = False
+                    else:
+                        wrx = ltab[li, 0] - hx
+                        wry = ltab[li, 1] - hy
+                        wrz = ltab[li, 2] - hz
+                        d2l = dot3(wrx, wry, wrz, wrx, wry, wrz)
+                        inv_dl = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
+                        dist_l = d2l * inv_dl
+                        wlx = wrx * inv_dl; wly = wry * inv_dl
+                        wlz = wrz * inv_dl
+                        inv_d2 = inv_dl * inv_dl
+                        rad = (I_l[0] * inv_d2, I_l[1] * inv_d2,
+                               I_l[2] * inv_d2)
+                        pdf_l = sel + z
+                        valid = dist_l > tmin
+                        is_delta = True
+                    smax = dist_l * (1.0 - 1e-3) - tmin
+                    occ = jnp.zeros(n_lanes_tot, bool)
+                    for pp in range(n_prims):
+                        sx2 = centers[pp, 0] - hx
+                        sy2 = centers[pp, 1] - hy
+                        sz2 = centers[pp, 2] - hz
+                        rb = dot3(sx2, sy2, sz2, wlx, wly, wlz)
+                        rdet = (rb * rb
+                                - dot3(sx2, sy2, sz2, sx2, sy2, sz2)
+                                + radii[pp] * radii[pp])
+                        rsq = jnp.sqrt(jnp.maximum(rdet, 0.0))
+                        rt = jnp.where(rb - rsq > tmin, rb - rsq, rb + rsq)
+                        occ = occ | ((rdet >= 0.0) & (rt > tmin)
+                                     & (rt < smax))
+                    cos_l = dot3(wlx, wly, wlz, nx, ny, nz)
+                    support = (cos_l > 0.0) & (
+                        dot3(wox, woy, woz, wlx, wly, wlz) < 0.0
+                    ) & is_diff
+                    if is_delta:
+                        w_mis = 1.0
+                    else:
+                        pdf_b_l = jnp.where(support, cos_l * INV_PI, 0.0)
+                        w_mis = sg((pdf_l * pdf_l) / jnp.maximum(
+                            pdf_l * pdf_l + pdf_b_l * pdf_b_l, 1e-20))
+                    gate = (act & m_l & valid & support
+                            & ~occ).astype(jnp.float32)
+                    scale = gate * cos_l * w_mis / jnp.maximum(
+                        sg(pdf_l), 1e-20)
+                    C[0] = C[0] + T[0] * (ar * INV_PI) * rad[0] * scale
+                    C[1] = C[1] + T[1] * (ag * INV_PI) * rad[1] * scale
+                    C[2] = C[2] + T[2] * (ab * INV_PI) * rad[2] * scale
+
+            # BSDF sampling (kernel op order; sampled quantities detached)
+            r_d = jnp.sqrt(u1)
+            th = (2.0 * np.pi) * u2
+            ldx = r_d * jnp.cos(th)
+            ldy = r_d * jnp.sin(th)
+            ldz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+            use_x = jnp.abs(nx) > jnp.abs(nz)
+            ux = jnp.where(use_x, -ny, 0.0)
+            uy = jnp.where(use_x, nx, -nz)
+            uz = jnp.where(use_x, 0.0, ny)
+            ux, uy, uz = norm3(ux, uy, uz)
+            vx = ny * uz - nz * uy
+            vy = nz * ux - nx * uz
+            vz = nx * uy - ny * ux
+            wdx = ux * ldx + vx * ldy + nx * ldz
+            wdy = uy * ldx + vy * ldy + ny * ldz
+            wdz = uz * ldx + vz * ldy + nz * ldz
+            pdf_d = jnp.where(
+                dot3(wox, woy, woz, wdx, wdy, wdz) < 0.0,
+                ldz * INV_PI, 0.0,
+            )
+            won = dot3(wox, woy, woz, nx, ny, nz)
+            wsx = wox - 2.0 * won * nx
+            wsy = woy - 2.0 * won * ny
+            wsz = woz - 2.0 * won * nz
+            entering = won < 0.0
+            ior = jnp.maximum(coef, 1.0)
+            n1 = jnp.where(entering, 1.0, ior)
+            n2 = jnp.where(entering, ior, 1.0)
+            sgn = jnp.where(entering, 1.0, -1.0)
+            nnx = nx * sgn; nny = ny * sgn; nnz = nz * sgn
+            cos_i = -(wox * nnx + woy * nny + woz * nnz)
+            eta = n1 / n2
+            sin2t = eta * eta * (1.0 - cos_i * cos_i)
+            cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2t, 0.0))
+            r_orth = ((n1 * cos_i - n2 * cos_t)
+                      / (n1 * cos_i + n2 * cos_t))
+            r_par = ((n2 * cos_i - n1 * cos_t)
+                     / (n2 * cos_i + n1 * cos_t))
+            refl = jnp.where(sin2t > 1.0, 1.0,
+                             0.5 * (r_orth * r_orth + r_par * r_par))
+            do_reflect = u1 < refl
+            wonn = dot3(wox, woy, woz, nnx, nny, nnz)
+            rfx = wox - 2.0 * wonn * nnx
+            rfy = woy - 2.0 * wonn * nny
+            rfz = woz - 2.0 * wonn * nnz
+            txx = wox * eta - (eta * (-cos_i) + cos_t) * nnx
+            txy = woy * eta - (eta * (-cos_i) + cos_t) * nny
+            txz = woz * eta - (eta * (-cos_i) + cos_t) * nnz
+            txx, txy, txz = norm3(txx, txy, txz)
+            wtx = jnp.where(do_reflect, rfx, txx)
+            wty = jnp.where(do_reflect, rfy, txy)
+            wtz = jnp.where(do_reflect, rfz, txz)
+
+            wix = jnp.where(is_s, wsx, jnp.where(is_t, wtx, wdx))
+            wiy = jnp.where(is_s, wsy, jnp.where(is_t, wty, wdy))
+            wiz = jnp.where(is_s, wsz, jnp.where(is_t, wtz, wdz))
+            wix, wiy, wiz = sg(wix), sg(wiy), sg(wiz)
+            fr = jnp.where(is_s, coef * ar,
+                           jnp.where(is_t, ar, ar * INV_PI))
+            fg = jnp.where(is_s, coef * ag,
+                           jnp.where(is_t, ag, ag * INV_PI))
+            fb = jnp.where(is_s, coef * ab,
+                           jnp.where(is_t, ab, ab * INV_PI))
+            pdf = sg(jnp.where(is_diff, pdf_d, 1.0))
+            f_black = (fr <= 0.0) & (fg <= 0.0) & (fb <= 0.0)
+            contrib_ok = sg(~f_black & (pdf > 0.0))
+            step_ok = act & contrib_ok
+            cos_wi = jnp.abs(dot3(wix, wiy, wiz, nx, ny, nz))
+            wgt = sg(jnp.where(is_diff, jnp.pi, cos_wi))
+            T[0] = jnp.where(step_ok, T[0] * fr * wgt, T[0])
+            T[1] = jnp.where(step_ok, T[1] * fg * wgt, T[1])
+            T[2] = jnp.where(step_ok, T[2] * fb * wgt, T[2])
+
+            do_rr = bounce > RRS
+            p_cont = sg(jnp.minimum(
+                0.5, jnp.maximum(T[0], jnp.maximum(T[1], T[2]))))
+            survive = u3 <= p_cont
+            boost = step_ok & do_rr & survive & (p_cont > 0.0)
+            inv_p = 1.0 / jnp.maximum(p_cont, 1e-20)
+            T[0] = jnp.where(boost, T[0] * inv_p, T[0])
+            T[1] = jnp.where(boost, T[1] * inv_p, T[1])
+            T[2] = jnp.where(boost, T[2] * inv_p, T[2])
+            alive_next = (step_ok & (survive | ~do_rr)
+                          & (bounce < MB))
+
+            died = alive & ~alive_next
+            diedf = died.astype(jnp.float32)
+            Ls[0] = Ls[0] + C[0] * diedf
+            Ls[1] = Ls[1] + C[1] * diedf
+            Ls[2] = Ls[2] + C[2] * diedf
+            n_s = n_s + died.astype(jnp.int32)
+
+            o[0] = jnp.where(act, hx, o[0])
+            o[1] = jnp.where(act, hy, o[1])
+            o[2] = jnp.where(act, hz, o[2])
+            d[0] = jnp.where(act, wix, d[0])
+            d[1] = jnp.where(act, wiy, d[1])
+            d[2] = jnp.where(act, wiz, d[2])
+            prev_pdf = jnp.where(act, pdf, prev_pdf)
+            new_delta = is_s | is_t
+            prev_delta = (act & new_delta) | (~act & prev_delta)
+            bounce = jnp.where(act, bounce + 1, bounce)
+            alive = alive_next
+
+        have = (n_s > 0) & in_domain
+        havef = have.astype(jnp.float32)
+        inv_n = havef / jnp.maximum(n_s.astype(jnp.float32), 1.0)
+        tl = target_to_lanes(target, n_tiles * TR).reshape(n_lanes_tot, 3)
+        dr = (Ls[0] * inv_n - tl[:, 0]) * havef
+        dg = (Ls[1] * inv_n - tl[:, 1]) * havef
+        db = (Ls[2] * inv_n - tl[:, 2]) * havef
+        return jnp.sum(dr * dr + dg * dg + db * db) / (W * H * 3)
+
+    return loss_fn
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    scene, cs = sc.cornell_spheres()
+    camera = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], W, H,
+                            cs["fov"])
+    return scene, camera
+
+
+@pytest.mark.parametrize("nee", [False, True])
+def test_grads_match_replica_autodiff(cornell, nee):
+    """Kernel streaming adjoint under regeneration == jax.grad of the
+    schedule replica on the SAME uniforms."""
+    scene, camera = cornell
+    seed = jnp.asarray([4, 11], jnp.int32)
+    rng = np.random.default_rng(7)
+    target = jnp.asarray(rng.random((H, W, 3), np.float32))
+
+    loss_k, grads_k, nrays = persistent_mse_value_and_grad(
+        scene, camera, seed, 0, target, spp=SPP, budget=BUDGET,
+        max_bounces=MB, rr_start=RRS, tile_rows=TR, use_nee=nee,
+        interpret=True,
+    )
+    assert int(nrays) > 0
+
+    loss_fn = _replica_loss_fn(scene, camera, target, (4, 11), BUDGET, nee)
+    loss_r, (gA_r, gI_r) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        scene.mat_color, scene.light_intensity
+    )
+
+    np.testing.assert_allclose(float(loss_k), float(loss_r), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(grads_k["mat_color"]), np.asarray(gA_r),
+        rtol=2e-3, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads_k["light_intensity"])[: gI_r.shape[0]],
+        np.asarray(gI_r), rtol=2e-3, atol=1e-7,
+    )
+    assert np.abs(np.asarray(grads_k["mat_color"])).max() > 0
+    assert np.abs(np.asarray(grads_k["light_intensity"])).max() > 0
+
+
+def test_sample_guarantee_and_loss_consistency(cornell):
+    """budget >= spp*(max_bounces+1) completes exactly spp samples per
+    pixel, and the returned loss equals the MSE recomputed from the
+    kernel's own per-lane sums."""
+    scene, camera = cornell
+    seed = jnp.asarray([8, 3], jnp.int32)
+    rng = np.random.default_rng(2)
+    target = jnp.asarray(rng.random((H, W, 3), np.float32))
+    budget = SPP * (MB + 1)
+    rows_total, n_lanes = pixel_lanes_layout(W, H, TR)
+    L, ns, loss, gA, gI, nrays = persistent_replay_call(
+        scene, pack_camera(camera), seed, jnp.int32(0),
+        target_to_lanes(target, rows_total),
+        spp=SPP, budget=budget, width=W, height=H, max_bounces=MB,
+        rr_start=RRS, tile_rows=TR, interpret=True,
+    )
+    ns_flat = np.asarray(ns).reshape(-1)[:n_lanes]
+    assert (ns_flat == SPP).all()
+    # padding lanes are inert
+    assert np.asarray(ns).reshape(-1)[n_lanes:].max(initial=0) == 0
+    img = (np.asarray(L).reshape(-1, 3)[:n_lanes]
+           / ns_flat[:, None]).reshape(H, W, 3)
+    loss_direct = np.mean((img - np.asarray(target)) ** 2)
+    np.testing.assert_allclose(float(loss), loss_direct, rtol=1e-5)
+
+
+def test_grad_descent_recovers_albedo(cornell):
+    """A few persistent-kernel gradient steps move a perturbed wall
+    albedo toward the target image's (end-to-end trainer smoke)."""
+    scene, camera = cornell
+    rng = np.random.default_rng(5)
+    target_scene = scene
+    # render the target with the same estimator (fixed seed)
+    seedt = jnp.asarray([21, 0], jnp.int32)
+    rows_total, n_lanes = pixel_lanes_layout(W, H, TR)
+    Lt, nst, *_ = persistent_replay_call(
+        target_scene, pack_camera(camera), seedt, jnp.int32(0),
+        jnp.zeros((rows_total, LANES, 3)),
+        spp=4, budget=4 * (MB + 1), width=W, height=H, max_bounces=MB,
+        rr_start=RRS, tile_rows=TR, interpret=True,
+    )
+    tgt = (np.asarray(Lt).reshape(-1, 3)[:n_lanes]
+           / np.maximum(np.asarray(nst).reshape(-1)[:n_lanes], 1)[:, None]
+           ).reshape(H, W, 3)
+    tgt = jnp.asarray(tgt)
+
+    mat0 = np.asarray(scene.mat_color).copy()
+    mat = mat0.copy()
+    mat[1] = np.clip(mat0[1] + np.array([0.25, -0.2, 0.2]), 0.05, 0.95)
+    cur = scene.replace(mat_color=jnp.asarray(mat))
+    losses = []
+    for i in range(6):
+        loss, grads, _ = persistent_mse_value_and_grad(
+            cur, camera, jnp.asarray([33 + i, 1], jnp.int32), i, tgt,
+            spp=SPP, budget=BUDGET, max_bounces=MB, rr_start=RRS,
+            tile_rows=TR, interpret=True,
+        )
+        losses.append(float(loss))
+        mc = cur.mat_color - 4.0 * grads["mat_color"]
+        cur = cur.replace(mat_color=jnp.clip(mc, 0.0, 1.0))
+    assert losses[-1] < losses[0]

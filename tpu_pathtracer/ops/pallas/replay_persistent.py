@@ -1,0 +1,837 @@
+"""Persistent fused value-and-grad kernel: fwd+bwd at ~full occupancy.
+
+The fused replay kernel (ops/pallas/replay_kernel.py) collapses the
+primal and adjoint walks into one pass, but it still unrolls
+`max_bounces + 1` static bounce stages over every (pixel, sample) lane —
+the same ~42% dead-lane waste the forward side had before the persistent
+kernel (ops/pallas/persistent.py). This kernel applies the persistent
+path-regeneration scheme to the FUSED fwd+bwd walk: one lane per PIXEL,
+and the moment a lane's path dies it immediately starts the next sample
+for its own pixel (gated on `completed < spp`), so every wavefront
+iteration advances a live path on (nearly) every lane until the frame's
+sample budget drains.
+
+Streaming adjoint under regeneration (replay_kernel.py's identity, per
+PATH instead of per lane): every BSDF factor / emission term is linear in
+its material color A_m / light intensity I_l, so with per-path prefix
+radiance C (through vertex b) and per-path totals C_tot:
+
+    dC_tot/dA_m = ( C_tot * nA_m - cA_m ) / A_m
+        nA_m = #vertices at material m whose BSDF factor was applied
+        cA_m = sum_b [ C_after_b * ok_b - nee_b * act_b ] * 1[mid_b = m]
+    dC_tot/dI_l = cI_l / I_l
+
+nA/cA/cI are in-flight per-path running sums; when the path completes
+they are FLUSHED into per-lane gradient accumulators
+    GA_m += C_tot * nA_m - cA_m        GI_l += cI_l
+(the suffix factor appears at path completion — the persistent analogue
+of replay_kernel applying it after the unrolled walk). In-flight paths at
+the end of the launch are discarded on BOTH sides (their radiance never
+enters the pixel mean, their adjoint terms never enter the gradient), so
+the differentiated estimator is exactly "MSE of the mean over completed
+paths". The MSE cotangent g = 2*(mean - target)/(n_pix*3) is lane-local
+here (lane == pixel: the mean is C_sum / n_completed, no cross-lane
+reduction needed), applied to GA/GI once at the end of the launch.
+
+Everything happens in ONE pallas_call per gradient: no carried HBM state,
+all accumulators live in VMEM/registers for the whole walk. Integrator
+math is bounce-for-bounce replay_kernel.py's (reference
+pathtracer.cu:112-170 semantics + live NEE/MIS from the dead
+scene.h:110-170 machinery), with per-lane vector RR/bounce-cap gates as
+in persistent.py (lanes sit at different depths).
+
+Validated on CPU (interpret mode + external threefry uniforms) against
+jax.grad of a pure-JAX replica of the regeneration schedule
+(tests/test_replay_persistent.py).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_pathtracer.models.scene import (
+    SPECULAR, TRANSMISSIVE, EPSILON, Scene,
+)
+from tpu_pathtracer.ops.pallas.trace_kernel import (
+    LANES, BIG, INV_PI,
+    _dot3, _normalize3, _rand, _seed_streams,
+    pack_camera, pack_lights, pack_prims,
+)
+
+
+def _preplay_kernel(
+    # scalar prefetch: [seed, salt, tile_offset, iteration]
+    seed_ref,
+    # SMEM operands
+    prims_ref,  # (P, 12) f32
+    cam_ref,  # (24,) f32 pack_camera layout
+    lights_ref,  # (L, 8) f32
+    *refs,
+    rows: int,
+    budget: int,
+    spp: int,
+    n_prims: int,
+    emissive: tuple,
+    spec_prims: tuple,
+    trans_prims: tuple,
+    prims_by_mat: tuple,
+    lights_static: tuple,
+    n_mats: int,
+    use_nee: bool,
+    use_dof: bool,
+    strat_k: int,
+    width: int,
+    max_bounces: int,
+    rr_start: int,
+    tmin: float,
+    n_lanes: int,
+    inv_loss_n: float,
+    external_rng: bool,
+):
+    # refs: [tr_, tg_, tb_ target lanes], [rng?], then outputs
+    #       [lr_o, lg_o, lb_o, ns_o, part_o, loss_o, nrays_o]
+    tr_i, tg_i, tb_i = refs[0], refs[1], refs[2]
+    idx = 3
+    rng_ref = refs[idx] if external_rng else None
+    idx += 1 if external_rng else 0
+    lr_o, lg_o, lb_o, ns_o, part_o, loss_o, nrays_o = refs[idx:idx + 7]
+
+    n_lights = len(lights_static)
+    tile = pl.program_id(0)
+    shape = (rows, LANES)
+    fzeros = jnp.zeros(shape, jnp.float32)
+
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        + (tile + seed_ref[2]) * (rows * LANES)
+    )
+    in_domain = lane < n_lanes
+    px = (lane % width).astype(jnp.float32)
+    py = (lane // width).astype(jnp.float32)
+
+    _seed_streams(
+        seed_ref[0], seed_ref[3], tile + seed_ref[2], seed_ref[1],
+        jnp.int32(0),
+    )
+
+    def intersect(ox, oy, oz, dx, dy, dz):
+        """Unrolled closest-hit over the sphere scene (scene.h:71-94)."""
+        best_t = fzeros + BIG
+        best_p = jnp.zeros(shape, jnp.int32)
+        for p in range(n_prims):
+            opx = prims_ref[p, 0] - ox
+            opy = prims_ref[p, 1] - oy
+            opz = prims_ref[p, 2] - oz
+            r = prims_ref[p, 3]
+            b = _dot3(opx, opy, opz, dx, dy, dz)
+            det = b * b - _dot3(opx, opy, opz, opx, opy, opz) + r * r
+            sq = jnp.sqrt(jnp.maximum(det, 0.0))
+            t0 = b - sq
+            t = jnp.where(t0 > tmin, t0, b + sq)  # primitive.h:44 roots
+            closer = (det >= 0.0) & (t > tmin) & (t < best_t)
+            best_t = jnp.where(closer, t, best_t)
+            best_p = jnp.where(closer, p, best_p)
+        hit = best_t < (0.5 * BIG)
+        hx = ox + dx * best_t
+        hy = oy + dy * best_t
+        hz = oz + dz * best_t
+        nx = fzeros; ny = fzeros; nz = fzeros
+        ar = fzeros; ag = fzeros; ab = fzeros
+        for p in range(n_prims):
+            is_p = best_p == p
+            inv_r = 1.0 / prims_ref[p, 3]  # scalar reciprocal
+            nx = jnp.where(is_p, (hx - prims_ref[p, 0]) * inv_r, nx)
+            ny = jnp.where(is_p, (hy - prims_ref[p, 1]) * inv_r, ny)
+            nz = jnp.where(is_p, (hz - prims_ref[p, 2]) * inv_r, nz)
+            ar = jnp.where(is_p, prims_ref[p, 4], ar)
+            ag = jnp.where(is_p, prims_ref[p, 5], ag)
+            ab = jnp.where(is_p, prims_ref[p, 6], ab)
+        coef = fzeros
+        for p in (*spec_prims, *trans_prims):
+            coef = jnp.where(best_p == p, prims_ref[p, 7], coef)
+        er = fzeros; eg = fzeros; eb = fzeros
+        for p in emissive:
+            is_p = best_p == p
+            er = jnp.where(is_p, prims_ref[p, 9], er)
+            eg = jnp.where(is_p, prims_ref[p, 10], eg)
+            eb = jnp.where(is_p, prims_ref[p, 11], eb)
+        is_s = jnp.zeros(shape, jnp.bool_)
+        for p in spec_prims:
+            is_s = is_s | (best_p == p)
+        is_t = jnp.zeros(shape, jnp.bool_)
+        for p in trans_prims:
+            is_t = is_t | (best_p == p)
+        return (hit, best_p, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef,
+                is_s, is_t, er, eg, eb)
+
+    # ---- walk state (all VMEM-resident for the whole launch)
+    Lr = fzeros; Lg = fzeros; Lb = fzeros  # per-pixel completed-path sums
+    n_samp = jnp.zeros(shape, jnp.int32)
+    ox = fzeros; oy = fzeros; oz = fzeros
+    dx = fzeros; dy = fzeros; dz = fzeros
+    Tr = fzeros; Tg = fzeros; Tb = fzeros
+    Cr = fzeros; Cg = fzeros; Cb = fzeros  # current-path radiance
+    bounce = jnp.zeros(shape, jnp.int32)
+    alive = jnp.zeros(shape, jnp.bool_)
+    prev_pdf = fzeros
+    prev_delta = jnp.zeros(shape, jnp.bool_)
+    # in-flight per-path adjoint
+    nA = [fzeros for _ in range(n_mats)]
+    cA = [[fzeros, fzeros, fzeros] for _ in range(n_mats)]
+    cI = [[fzeros, fzeros, fzeros] for _ in range(n_lights)]
+    # completed-path gradient accumulators (suffix factor applied at flush)
+    GA = [[fzeros, fzeros, fzeros] for _ in range(n_mats)]
+    GI = [[fzeros, fzeros, fzeros] for _ in range(n_lights)]
+    n_live = jnp.zeros((), jnp.int32)
+    kk = strat_k * strat_k
+    n_draw = (4 if use_dof else 2) + 3 + (3 if use_nee else 0)
+
+    for it_i in range(budget):
+        if external_rng:
+            ub = rng_ref[it_i * n_draw * rows:(it_i + 1) * n_draw * rows, :]
+        else:
+            ub = _rand((n_draw * rows, LANES))
+        u_cam = ub[:rows]
+        v_cam = ub[rows:2 * rows]
+        off = 2
+        if use_dof:
+            u_lens = ub[off * rows:(off + 1) * rows]
+            v_lens = ub[(off + 1) * rows:(off + 2) * rows]
+            off += 2
+        u1 = ub[off * rows:(off + 1) * rows]
+        u2 = ub[(off + 1) * rows:(off + 2) * rows]
+        u3 = ub[(off + 2) * rows:(off + 3) * rows]
+        off += 3
+        if use_nee:
+            ul1 = ub[off * rows:(off + 1) * rows]
+            ul2 = ub[(off + 1) * rows:(off + 2) * rows]
+            usel = ub[(off + 2) * rows:(off + 3) * rows]
+
+        # ---- regenerate: dead lanes with samples remaining start the
+        # next path for their own pixel (persistent.py's scheme, gated on
+        # the spp budget so the launch drains)
+        regen = (~alive) & in_domain & (n_samp < spp)
+        if strat_k > 1:
+            cell = n_samp % kk
+            ccx = (cell % strat_k).astype(jnp.float32)
+            ccy = (cell // strat_k).astype(jnp.float32)
+            jx = (ccx + u_cam) * (1.0 / strat_k) - 0.5
+            jy = (ccy + v_cam) * (1.0 / strat_k) - 0.5
+        else:
+            jx = u_cam - 0.5
+            jy = v_cam - 0.5
+        sx = px + jx
+        sy = py + jy
+        gdx = cam_ref[0] - cam_ref[6] * sy + cam_ref[3] * sx
+        gdy = cam_ref[1] - cam_ref[7] * sy + cam_ref[4] * sx
+        gdz = cam_ref[2] - cam_ref[8] * sy + cam_ref[5] * sx
+        gdx, gdy, gdz = _normalize3(gdx, gdy, gdz)
+        gox = fzeros + cam_ref[9]
+        goy = fzeros + cam_ref[10]
+        goz = fzeros + cam_ref[11]
+        if use_dof:
+            lens_r = cam_ref[12] * jnp.sqrt(u_lens)
+            phi_l = (2.0 * math.pi) * v_lens
+            ldu = lens_r * jnp.cos(phi_l)
+            ldv = lens_r * jnp.sin(phi_l)
+            cos_w = (
+                gdx * cam_ref[20] + gdy * cam_ref[21] + gdz * cam_ref[22]
+            )
+            ft = cam_ref[13] / jnp.maximum(cos_w, 1e-6)
+            fpx = gox + gdx * ft
+            fpy = goy + gdy * ft
+            fpz = goz + gdz * ft
+            gox = gox + cam_ref[14] * ldu + cam_ref[17] * ldv
+            goy = goy + cam_ref[15] * ldu + cam_ref[18] * ldv
+            goz = goz + cam_ref[16] * ldu + cam_ref[19] * ldv
+            gdx, gdy, gdz = _normalize3(fpx - gox, fpy - goy, fpz - goz)
+
+        ox = jnp.where(regen, gox, ox)
+        oy = jnp.where(regen, goy, oy)
+        oz = jnp.where(regen, goz, oz)
+        dx = jnp.where(regen, gdx, dx)
+        dy = jnp.where(regen, gdy, dy)
+        dz = jnp.where(regen, gdz, dz)
+        Tr = jnp.where(regen, 1.0, Tr)
+        Tg = jnp.where(regen, 1.0, Tg)
+        Tb = jnp.where(regen, 1.0, Tb)
+        Cr = jnp.where(regen, 0.0, Cr)
+        Cg = jnp.where(regen, 0.0, Cg)
+        Cb = jnp.where(regen, 0.0, Cb)
+        bounce = jnp.where(regen, 0, bounce)
+        prev_pdf = jnp.where(regen, 0.0, prev_pdf)
+        prev_delta = prev_delta | regen
+        regf = regen.astype(jnp.float32)
+        keepf = 1.0 - regf
+        for mi in range(n_mats):
+            nA[mi] = nA[mi] * keepf
+            for c in range(3):
+                cA[mi][c] = cA[mi][c] * keepf
+        for li in range(n_lights):
+            for c in range(3):
+                cI[li][c] = cI[li][c] * keepf
+        alive = alive | regen
+
+        n_live = n_live + jnp.sum(alive.astype(jnp.int32))
+
+        # ---- trace the pending segment
+        (hit, bp, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, is_s, is_t,
+         er, eg, eb) = intersect(ox, oy, oz, dx, dy, dz)
+        act = alive & hit
+        wox, woy, woz = dx, dy, dz
+
+        # ---- emitter-hit term (+ MIS weight in NEE mode)
+        one_sided = _dot3(nx, ny, nz, -wox, -woy, -woz) > 0.0
+        take = (act & one_sided).astype(jnp.float32)
+        if use_nee:
+            ldp = fzeros
+            for li, (ltype, lprim) in enumerate(lights_static):
+                if ltype != 1 or lprim < 0:
+                    continue
+                m = bp == lprim
+                dlx = prims_ref[lprim, 0] - ox
+                dly = prims_ref[lprim, 1] - oy
+                dlz = prims_ref[lprim, 2] - oz
+                d2l = _dot3(dlx, dly, dlz, dlx, dly, dlz)
+                rl = prims_ref[lprim, 3]
+                sin2 = jnp.minimum(rl * rl / jnp.maximum(d2l, 1e-12), 1.0)
+                ctm = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+                pc = 1.0 / (2.0 * math.pi * jnp.maximum(1.0 - ctm, 1e-12))
+                pc = jnp.where(d2l > rl * rl, pc, 0.0)
+                ldp = jnp.where(m, pc * lights_ref[li, 7], ldp)
+            pp2 = prev_pdf * prev_pdf
+            w_emit = jnp.where(
+                prev_delta, 1.0, pp2 / jnp.maximum(pp2 + ldp * ldp, 1e-20)
+            )
+            take = take * w_emit
+        e_r = Tr * er * take
+        e_g = Tg * eg * take
+        e_b = Tb * eb * take
+        Cr = Cr + e_r; Cg = Cg + e_g; Cb = Cb + e_b
+        for li, (ltype, lprim) in enumerate(lights_static):
+            if ltype != 1 or lprim < 0:
+                continue
+            m = (bp == lprim).astype(jnp.float32)
+            cI[li][0] += e_r * m
+            cI[li][1] += e_g * m
+            cI[li][2] += e_b * m
+
+        # ---- next-event estimation (per-light; accumulates cI too)
+        is_d = ~(is_s | is_t) if (spec_prims or trans_prims) else None
+        nee_r = fzeros; nee_g = fzeros; nee_b = fzeros
+        if use_nee:
+            for li, (ltype, lprim) in enumerate(lights_static):
+                lo = lights_ref[li, 6]
+                sel = lights_ref[li, 7]
+                if li == n_lights - 1:
+                    m_l = usel >= lo
+                else:
+                    m_l = (usel >= lo) & (usel < lo + sel)
+                ir_l = lights_ref[li, 3]
+                ig_l = lights_ref[li, 4]
+                ib_l = lights_ref[li, 5]
+                if ltype == 1 and lprim >= 0:  # area (sphere) light
+                    wrx = prims_ref[lprim, 0] - hx
+                    wry = prims_ref[lprim, 1] - hy
+                    wrz = prims_ref[lprim, 2] - hz
+                    rl = prims_ref[lprim, 3]
+                    d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
+                    inv_dc = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
+                    wcx = wrx * inv_dc; wcy = wry * inv_dc
+                    wcz = wrz * inv_dc
+                    sin2 = jnp.minimum(rl * rl / jnp.maximum(d2l, 1e-12), 1.0)
+                    ctm = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+                    cth = 1.0 - ul1 * (1.0 - ctm)
+                    sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+                    phi = (2.0 * math.pi) * ul2
+                    usex = jnp.abs(wcx) > jnp.abs(wcz)
+                    ax = jnp.where(usex, -wcy, 0.0)
+                    ay = jnp.where(usex, wcx, -wcz)
+                    az = jnp.where(usex, 0.0, wcy)
+                    ax, ay, az = _normalize3(ax, ay, az)
+                    bx = wcy * az - wcz * ay
+                    by = wcz * ax - wcx * az
+                    bz = wcx * ay - wcy * ax
+                    cp = jnp.cos(phi) * sth
+                    sp = jnp.sin(phi) * sth
+                    wlx = ax * cp + bx * sp + wcx * cth
+                    wly = ay * cp + by * sp + wcy * cth
+                    wlz = az * cp + bz * sp + wcz * cth
+                    bq = _dot3(wrx, wry, wrz, wlx, wly, wlz)
+                    detq = bq * bq - d2l + rl * rl
+                    thit = bq - jnp.sqrt(jnp.maximum(detq, 0.0))
+                    valid = (detq >= 0.0) & (thit > tmin) & (d2l > rl * rl)
+                    inv_rl = 1.0 / rl  # scalar
+                    nsx = (hx + wlx * thit - prims_ref[lprim, 0]) * inv_rl
+                    nsy = (hy + wly * thit - prims_ref[lprim, 1]) * inv_rl
+                    nsz = (hz + wlz * thit - prims_ref[lprim, 2]) * inv_rl
+                    front = _dot3(nsx, nsy, nsz, -wlx, -wly, -wlz) > 0.0
+                    valid = valid & front
+                    pdf_l = sel / (
+                        2.0 * math.pi * jnp.maximum(1.0 - ctm, 1e-12)
+                    )
+                    dist_l = thit
+                    rad_r, rad_g, rad_b = ir_l, ig_l, ib_l
+                    is_delta = False
+                else:  # point light (scene.h:153-158)
+                    wrx = lights_ref[li, 0] - hx
+                    wry = lights_ref[li, 1] - hy
+                    wrz = lights_ref[li, 2] - hz
+                    d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
+                    inv_dl = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
+                    dist_l = d2l * inv_dl
+                    wlx = wrx * inv_dl; wly = wry * inv_dl
+                    wlz = wrz * inv_dl
+                    inv_d2 = inv_dl * inv_dl
+                    rad_r = ir_l * inv_d2
+                    rad_g = ig_l * inv_d2
+                    rad_b = ib_l * inv_d2
+                    pdf_l = sel + fzeros
+                    valid = dist_l > tmin
+                    is_delta = True
+                smax = dist_l * (1.0 - 1e-3) - tmin
+                occ = jnp.zeros(shape, jnp.bool_)
+                for pp in range(n_prims):
+                    sx2 = prims_ref[pp, 0] - hx
+                    sy2 = prims_ref[pp, 1] - hy
+                    sz2 = prims_ref[pp, 2] - hz
+                    rb = _dot3(sx2, sy2, sz2, wlx, wly, wlz)
+                    rdet = (
+                        rb * rb - _dot3(sx2, sy2, sz2, sx2, sy2, sz2)
+                        + prims_ref[pp, 3] * prims_ref[pp, 3]
+                    )
+                    rsq = jnp.sqrt(jnp.maximum(rdet, 0.0))
+                    rt = jnp.where(rb - rsq > tmin, rb - rsq, rb + rsq)
+                    occ = occ | ((rdet >= 0.0) & (rt > tmin) & (rt < smax))
+                cos_l = _dot3(wlx, wly, wlz, nx, ny, nz)
+                support = (cos_l > 0.0) & (
+                    _dot3(wox, woy, woz, wlx, wly, wlz) < 0.0
+                )
+                if spec_prims or trans_prims:
+                    support = support & is_d
+                if is_delta:
+                    w_mis = 1.0
+                else:
+                    pdf_b_l = jnp.where(support, cos_l * INV_PI, 0.0)
+                    w_mis = (pdf_l * pdf_l) / jnp.maximum(
+                        pdf_l * pdf_l + pdf_b_l * pdf_b_l, 1e-20
+                    )
+                gate = (
+                    act & m_l & valid & support & ~occ
+                ).astype(jnp.float32)
+                scale = gate * cos_l * w_mis / jnp.maximum(pdf_l, 1e-20)
+                t_r = Tr * (ar * INV_PI) * rad_r * scale
+                t_g = Tg * (ag * INV_PI) * rad_g * scale
+                t_b = Tb * (ab * INV_PI) * rad_b * scale
+                nee_r += t_r; nee_g += t_g; nee_b += t_b
+                cI[li][0] += t_r
+                cI[li][1] += t_g
+                cI[li][2] += t_b
+            Cr = Cr + nee_r; Cg = Cg + nee_g; Cb = Cb + nee_b
+
+        # ---- BSDF sampling (scene.h:177-221; polar disk map — see
+        # persistent.py's sampling block for the derivation)
+        r_d = jnp.sqrt(u1)
+        th = (2.0 * math.pi) * u2
+        ldx = r_d * jnp.cos(th)
+        ldy = r_d * jnp.sin(th)
+        ldz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+        use_x = jnp.abs(nx) > jnp.abs(nz)
+        ux = jnp.where(use_x, -ny, 0.0)
+        uy = jnp.where(use_x, nx, -nz)
+        uz = jnp.where(use_x, 0.0, ny)
+        ux, uy, uz = _normalize3(ux, uy, uz)
+        vx = ny * uz - nz * uy
+        vy = nz * ux - nx * uz
+        vz = nx * uy - ny * ux
+        wdx = ux * ldx + vx * ldy + nx * ldz
+        wdy = uy * ldx + vy * ldy + ny * ldz
+        wdz = uz * ldx + vz * ldy + nz * ldz
+        pdf_d = jnp.where(
+            _dot3(wox, woy, woz, wdx, wdy, wdz) < 0.0,
+            ldz * INV_PI, 0.0,
+        )
+
+        won = _dot3(wox, woy, woz, nx, ny, nz)
+        if spec_prims:
+            wsx = wox - 2.0 * won * nx
+            wsy = woy - 2.0 * won * ny
+            wsz = woz - 2.0 * won * nz
+
+        if trans_prims:
+            entering = won < 0.0
+            ior = jnp.maximum(coef, 1.0)
+            n1 = jnp.where(entering, 1.0, ior)
+            n2 = jnp.where(entering, ior, 1.0)
+            sgn = jnp.where(entering, 1.0, -1.0)
+            nnx = nx * sgn; nny = ny * sgn; nnz = nz * sgn
+            cos_i = -(wox * nnx + woy * nny + woz * nnz)
+            eta = n1 / n2
+            sin2t = eta * eta * (1.0 - cos_i * cos_i)
+            cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2t, 0.0))
+            r_orth = (n1 * cos_i - n2 * cos_t) / (n1 * cos_i + n2 * cos_t)
+            r_par = (n2 * cos_i - n1 * cos_t) / (n2 * cos_i + n1 * cos_t)
+            refl = jnp.where(sin2t > 1.0, 1.0,
+                             0.5 * (r_orth * r_orth + r_par * r_par))
+            do_reflect = u1 < refl
+            wonn = _dot3(wox, woy, woz, nnx, nny, nnz)
+            rfx = wox - 2.0 * wonn * nnx
+            rfy = woy - 2.0 * wonn * nny
+            rfz = woz - 2.0 * wonn * nnz
+            txx = wox * eta - (eta * (-cos_i) + cos_t) * nnx
+            txy = woy * eta - (eta * (-cos_i) + cos_t) * nny
+            txz = woz * eta - (eta * (-cos_i) + cos_t) * nnz
+            txx, txy, txz = _normalize3(txx, txy, txz)
+            wtx = jnp.where(do_reflect, rfx, txx)
+            wty = jnp.where(do_reflect, rfy, txy)
+            wtz = jnp.where(do_reflect, rfz, txz)
+
+        wix, wiy, wiz = wdx, wdy, wdz
+        fr, fg, fb = ar * INV_PI, ag * INV_PI, ab * INV_PI
+        pdf = pdf_d
+        if spec_prims:
+            wix = jnp.where(is_s, wsx, wix)
+            wiy = jnp.where(is_s, wsy, wiy)
+            wiz = jnp.where(is_s, wsz, wiz)
+            fr = jnp.where(is_s, coef * ar, fr)
+            fg = jnp.where(is_s, coef * ag, fg)
+            fb = jnp.where(is_s, coef * ab, fb)
+        if trans_prims:
+            wix = jnp.where(is_t, wtx, wix)
+            wiy = jnp.where(is_t, wty, wiy)
+            wiz = jnp.where(is_t, wtz, wiz)
+            fr = jnp.where(is_t, ar, fr)
+            fg = jnp.where(is_t, ag, fg)
+            fb = jnp.where(is_t, ab, fb)
+        if spec_prims or trans_prims:
+            pdf = jnp.where(is_d, pdf_d, 1.0)
+        f_black = (fr <= 0.0) & (fg <= 0.0) & (fb <= 0.0)
+        contrib_ok = ~f_black & (pdf > 0.0)
+        step_ok = act & contrib_ok
+
+        # ---- streaming adjoint: per-path material accumulators
+        okf = step_ok.astype(jnp.float32)
+        actf = act.astype(jnp.float32)
+        for mi, plist in enumerate(prims_by_mat):
+            if not plist:
+                continue
+            mm = jnp.zeros(shape, jnp.bool_)
+            for p in plist:
+                mm = mm | (bp == p)
+            mf = mm.astype(jnp.float32)
+            nA[mi] += mf * okf
+            cA[mi][0] += (Cr * okf - nee_r * actf) * mf
+            cA[mi][1] += (Cg * okf - nee_g * actf) * mf
+            cA[mi][2] += (Cb * okf - nee_b * actf) * mf
+
+        # cos/pdf without the vector divide (see persistent.py)
+        if spec_prims or trans_prims:
+            cos_wi = jnp.abs(_dot3(wix, wiy, wiz, nx, ny, nz))
+            wgt = jnp.where(is_d, math.pi, cos_wi)
+        else:
+            wgt = math.pi
+        Tr = jnp.where(step_ok, Tr * fr * wgt, Tr)
+        Tg = jnp.where(step_ok, Tg * fg * wgt, Tg)
+        Tb = jnp.where(step_ok, Tb * fb * wgt, Tb)
+
+        # ---- Russian roulette, per-lane gated on bounce depth
+        do_rr = bounce > rr_start
+        p_cont = jnp.minimum(0.5, jnp.maximum(Tr, jnp.maximum(Tg, Tb)))
+        survive = u3 <= p_cont
+        boost = step_ok & do_rr & survive & (p_cont > 0.0)
+        inv_p = 1.0 / jnp.maximum(p_cont, 1e-20)
+        Tr = jnp.where(boost, Tr * inv_p, Tr)
+        Tg = jnp.where(boost, Tg * inv_p, Tg)
+        Tb = jnp.where(boost, Tb * inv_p, Tb)
+
+        alive_next = step_ok & (survive | ~do_rr) & (bounce < max_bounces)
+
+        # ---- path completion: flush radiance AND adjoint sums
+        died = alive & ~alive_next
+        diedf = died.astype(jnp.float32)
+        Lr = Lr + Cr * diedf
+        Lg = Lg + Cg * diedf
+        Lb = Lb + Cb * diedf
+        n_samp = n_samp + died.astype(jnp.int32)
+        for mi, plist in enumerate(prims_by_mat):
+            if not plist:
+                continue
+            GA[mi][0] += (Cr * nA[mi] - cA[mi][0]) * diedf
+            GA[mi][1] += (Cg * nA[mi] - cA[mi][1]) * diedf
+            GA[mi][2] += (Cb * nA[mi] - cA[mi][2]) * diedf
+        for li in range(n_lights):
+            GI[li][0] += cI[li][0] * diedf
+            GI[li][1] += cI[li][1] * diedf
+            GI[li][2] += cI[li][2] * diedf
+
+        # ---- pending ray for the next iteration
+        ox = jnp.where(act, hx, ox)
+        oy = jnp.where(act, hy, oy)
+        oz = jnp.where(act, hz, oz)
+        dx = jnp.where(act, wix, dx)
+        dy = jnp.where(act, wiy, dy)
+        dz = jnp.where(act, wiz, dz)
+        prev_pdf = jnp.where(act, pdf, prev_pdf)
+        new_delta = (is_s | is_t) if (spec_prims or trans_prims) \
+            else jnp.zeros(shape, jnp.bool_)
+        prev_delta = (act & new_delta) | (~act & prev_delta)
+        bounce = jnp.where(act, bounce + 1, bounce)
+        alive = alive_next
+
+    # ---- MSE cotangent, lane-local (lane == pixel)
+    dom_f = in_domain.astype(jnp.float32)
+    have = (n_samp > 0) & in_domain
+    havef = have.astype(jnp.float32)
+    inv_n = havef / jnp.maximum(n_samp.astype(jnp.float32), 1.0)
+    mean_r = Lr * inv_n
+    mean_g = Lg * inv_n
+    mean_b = Lb * inv_n
+    dr = (mean_r - tr_i[:, :]) * havef
+    dg = (mean_g - tg_i[:, :]) * havef
+    db = (mean_b - tb_i[:, :]) * havef
+    loss_o[tile, 0] = jnp.sum(dr * dr + dg * dg + db * db) * inv_loss_n
+    # g folded with the 1/n of the pixel mean: each completed path's
+    # gradient terms enter through mean = (1/n) sum_k C_tot^k
+    gr = dr * (2.0 * inv_loss_n) * inv_n
+    gg = dg * (2.0 * inv_loss_n) * inv_n
+    gb = db * (2.0 * inv_loss_n) * inv_n
+
+    for mi in range(n_mats):
+        part_o[tile, mi * 3 + 0] = jnp.sum(gr * GA[mi][0])
+        part_o[tile, mi * 3 + 1] = jnp.sum(gg * GA[mi][1])
+        part_o[tile, mi * 3 + 2] = jnp.sum(gb * GA[mi][2])
+    for li in range(n_lights):
+        base = n_mats * 3 + li * 3
+        part_o[tile, base + 0] = jnp.sum(gr * GI[li][0])
+        part_o[tile, base + 1] = jnp.sum(gg * GI[li][1])
+        part_o[tile, base + 2] = jnp.sum(gb * GI[li][2])
+
+    lr_o[:, :] = Lr * dom_f
+    lg_o[:, :] = Lg * dom_f
+    lb_o[:, :] = Lb * dom_f
+    ns_o[:, :] = n_samp
+    nrays_o[tile, 0] = n_live
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spp", "budget", "width", "height", "max_bounces", "rr_start",
+        "tile_rows", "use_nee", "use_dof", "strat_k", "interpret",
+    ),
+)
+def persistent_replay_call(
+    scene: Scene,
+    cam_packed: Array,  # (24,) f32
+    seed: Array,  # (2,) int32 [seed, salt]
+    iteration: Array,  # () int32 RNG frame index
+    target_lanes: Array,  # (rows_total, LANES, 3) per-PIXEL target
+    *,
+    spp: int,
+    budget: int,
+    width: int,
+    height: int,
+    max_bounces: int = 10,
+    rr_start: int = 3,
+    tile_rows: int = 32,
+    use_nee: bool = False,
+    use_dof: bool = False,
+    strat_k: int = 2,
+    tile_offset: Array | int = 0,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array, Array, Array, Array]:
+    """One persistent fused fwd+bwd launch. Returns (L_sum_lanes
+    (rows,LANES,3), n_samp_lanes, loss, gA_raw (M,3), gI_raw (NL,3),
+    live_ray_count). Callers divide the raw gradient partials by
+    clamp(mat_color)/clamp(light_intensity), as with replay_call."""
+    prims = pack_prims(scene)
+    n_prims = int(scene.num_prims)
+    spec_prims = tuple(
+        i for i, t in enumerate(scene.prim_mtypes) if t == SPECULAR
+    )
+    trans_prims = tuple(
+        i for i, t in enumerate(scene.prim_mtypes) if t == TRANSMISSIVE
+    )
+    n_mats = scene.mat_color.shape[0]
+    mids = scene.prim_material_ids
+    prims_by_mat = tuple(
+        tuple(p for p in range(n_prims) if mids[p] == mi)
+        for mi in range(n_mats)
+    )
+    lights_static = tuple(scene.light_structure)
+    lights_tab = pack_lights(scene)
+    n_lights = len(lights_static)
+
+    rows_total = target_lanes.shape[0]
+    n_tiles = rows_total // tile_rows
+    n_lanes = height * width
+    n_pix = height * width
+
+    external_rng = bool(interpret)
+    n_draw = (4 if use_dof else 2) + 3 + (3 if use_nee else 0)
+    kernel = functools.partial(
+        _preplay_kernel,
+        rows=tile_rows,
+        budget=budget,
+        spp=spp,
+        n_prims=n_prims,
+        emissive=tuple(scene.emissive_prims),
+        spec_prims=spec_prims,
+        trans_prims=trans_prims,
+        prims_by_mat=prims_by_mat,
+        lights_static=lights_static,
+        n_mats=n_mats,
+        use_nee=use_nee,
+        use_dof=use_dof,
+        strat_k=strat_k,
+        width=width,
+        max_bounces=max_bounces,
+        rr_start=rr_start,
+        tmin=EPSILON,
+        n_lanes=n_lanes,
+        inv_loss_n=1.0 / (n_pix * 3),
+        external_rng=external_rng,
+    )
+    tile_block = lambda i, *_: (i, 0)
+    lane_spec = pl.BlockSpec((tile_rows, LANES), tile_block)
+    rng_inputs = []
+    rng_specs = []
+    if external_rng:
+        # External threefry uniforms keyed by GLOBAL tile id — the Pallas
+        # interpreter stubs the TPU hardware PRNG (see persistent.py).
+        rkey = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(2), seed[0] + 131 * seed[1]),
+            iteration,
+        )
+        blk = budget * n_draw * tile_rows
+        gtiles = jnp.int32(tile_offset) + jnp.arange(n_tiles, dtype=jnp.int32)
+        blocks = jax.vmap(
+            lambda t: jax.random.uniform(
+                jax.random.fold_in(rkey, t), (blk, LANES), jnp.float32
+            )
+        )(gtiles)
+        rng_inputs.append(blocks.reshape(n_tiles * blk, LANES))
+        rng_specs.append(pl.BlockSpec((blk, LANES), tile_block))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n_prims, 12), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((24,), lambda i, *_: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(lights_tab.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            lane_spec, lane_spec, lane_spec,
+            *rng_specs,
+        ],
+        out_specs=[
+            lane_spec, lane_spec, lane_spec, lane_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+    )
+    seed4 = jnp.stack(
+        [seed[0], seed[1], jnp.int32(tile_offset), jnp.int32(iteration)]
+    )
+    k_part = n_mats * 3 + n_lights * 3
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, k_part), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        seed4, prims, cam_packed, lights_tab,
+        target_lanes[:, :, 0], target_lanes[:, :, 1], target_lanes[:, :, 2],
+        *rng_inputs,
+    )
+    lr, lg, lb, ns, partials, loss_p, nrays = outs
+    part = jnp.sum(partials, axis=0)
+    gA_raw = part[: n_mats * 3].reshape(n_mats, 3)
+    gI_raw = part[n_mats * 3:].reshape(n_lights, 3)
+    L_lanes = jnp.stack([lr, lg, lb], axis=-1)
+    return L_lanes, ns, jnp.sum(loss_p), gA_raw, gI_raw, jnp.sum(nrays)
+
+
+def pixel_lanes_layout(width: int, height: int, tile_rows: int = 32,
+                       tiles_multiple: int = 1) -> tuple[int, int]:
+    """(rows_total, n_lanes) for the lane == pixel layout."""
+    n_lanes = width * height
+    tile_lanes = tile_rows * LANES
+    n_tiles = -(-n_lanes // tile_lanes)
+    n_tiles = -(-n_tiles // tiles_multiple) * tiles_multiple
+    return n_tiles * tile_rows, n_lanes
+
+
+def target_to_lanes(img: Array, rows_total: int) -> Array:
+    """(H, W, 3) -> (rows_total, LANES, 3) in the lane == pixel layout."""
+    flat = img.reshape(-1, 3)
+    pad = rows_total * LANES - flat.shape[0]
+    flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    return flat.reshape(rows_total, LANES, 3)
+
+
+def default_budget(spp: int, max_bounces: int) -> int:
+    """Enough wavefront iterations to drain spp paths per pixel in
+    practice: mean path length on the reference workload is ~3 segments
+    (RR after bounce 3), plus slack for the long-path tail. Correctness
+    does not depend on this (undrained paths are consistently excluded
+    from BOTH the loss and the gradient); it only trades tail samples
+    against wasted all-dead iterations."""
+    return spp * 4 + max_bounces
+
+
+def persistent_mse_value_and_grad(
+    scene: Scene,
+    camera,
+    seed: Array,  # (2,) int32
+    iteration: Array | int,
+    target: Array,  # (H, W, 3)
+    *,
+    spp: int,
+    budget: int | None = None,
+    max_bounces: int = 10,
+    rr_start: int = 3,
+    tile_rows: int = 32,
+    use_nee: bool = False,
+    strat_k: int = 2,
+    interpret: bool = False,
+) -> tuple[Array, dict, Array]:
+    """Loss + gradients w.r.t. {mat_color, light_intensity} for
+    mean((render - target)^2) — the persistent-occupancy counterpart of
+    replay_kernel.mse_value_and_grad. Returns (loss, grads, live_rays)."""
+    w, h = camera.width, camera.height
+    rows_total, _ = pixel_lanes_layout(w, h, tile_rows)
+    aux = target_to_lanes(target, rows_total)
+    if budget is None:
+        budget = default_budget(spp, max_bounces)
+    _, _, loss, gA_raw, gI_raw, nrays = persistent_replay_call(
+        scene, pack_camera(camera), seed, jnp.int32(iteration), aux,
+        spp=spp, budget=budget, width=w, height=h, max_bounces=max_bounces,
+        rr_start=rr_start, tile_rows=tile_rows, use_nee=use_nee,
+        use_dof=camera.use_dof, strat_k=strat_k, interpret=interpret,
+    )
+    gI_full = jnp.zeros_like(scene.light_intensity)
+    gI_full = gI_full.at[: gI_raw.shape[0]].set(gI_raw)
+    grads = {
+        "mat_color": gA_raw / jnp.maximum(scene.mat_color, 1e-8),
+        "light_intensity": gI_full / jnp.maximum(
+            scene.light_intensity, 1e-8
+        ),
+    }
+    return loss, grads, nrays
