@@ -62,7 +62,7 @@ WIDTH, HEIGHT, SPP, MAX_BOUNCES = 640, 480, 4, 10
 ITERS = 120  # frames in the long window (~80 ms device time >> RTT jitter)
 REPEATS = 5  # per-endpoint repeats; min() strips additive RTT noise
 TILE_ROWS = 32  # best measured tile size on v5e
-BUDGET = 32  # wavefront iterations per persistent_step (best measured)
+BUDGET = 16  # best measured (robust sweep, round 3)
 
 
 def main() -> None:

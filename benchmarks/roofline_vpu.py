@@ -28,15 +28,21 @@ LANES = 128
 CHAIN = 512  # FMAs per element per kernel pass (unrolled)
 
 
+N_CHAINS = 8  # independent dependency chains to cover the FMA latency
+
+
 def _kernel(x_ref, o_ref, *, chain: int):
     x = x_ref[:, :]
-    # two independent chains so the VPU pipeline isn't serialized on one
+    # independent chains so the VPU pipeline isn't serialized on one
     # dependency chain; constants prevent constant-folding collapse
-    y = x * 1.0000001 + 0.0000003
-    for _ in range(chain // 2):
-        x = x * 1.0000002 + 0.0000001
-        y = y * 0.9999999 + 0.0000002
-    o_ref[:, :] = x + y
+    ys = [x * (1.0 + 1e-7 * (i + 1)) + 1e-7 * i for i in range(N_CHAINS)]
+    for _ in range(chain // N_CHAINS):
+        ys = [y * (1.0 - 1e-7 * (i + 1)) + 2e-7 * (i + 1)
+              for i, y in enumerate(ys)]
+    acc = ys[0]
+    for y in ys[1:]:
+        acc = acc + y
+    o_ref[:, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "chain", "passes",
@@ -62,7 +68,7 @@ def _run(x, salt, rows: int, chain: int, passes: int,
     return out.sum()
 
 
-def measure(rows: int = 2048, passes: int = 64, interpret: bool = False):
+def measure(rows: int = 2048, passes: int = 1024, interpret: bool = False):
     x = jnp.ones((rows, LANES), jnp.float32) * 0.5
     fmas_per_pass = rows * LANES * (CHAIN + 2)
 
@@ -77,8 +83,10 @@ def measure(rows: int = 2048, passes: int = 64, interpret: bool = False):
 
     timed(1)
     timed(passes)  # compile both
-    t1 = timed(1)
-    tn = timed(passes)
+    # RTT noise is additive-positive: min over repeats per endpoint
+    # (same protocol as bench.py)
+    t1 = min(timed(1) for _ in range(5))
+    tn = min(timed(passes) for _ in range(5))
     elapsed = max(tn - t1, 1e-9)
     fma_rate = fmas_per_pass * (passes - 1) / elapsed
     return fma_rate

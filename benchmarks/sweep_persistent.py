@@ -18,7 +18,8 @@ from tpu_pathtracer.ops.pallas.persistent import (
 from tpu_pathtracer.ops.pallas.trace_kernel import pack_camera
 
 W, H, MB = 640, 480, 10
-ITERS = 20
+ITERS = 60
+REPEATS = 3  # min over repeats strips additive RTT noise (see bench.py)
 
 
 def main():
@@ -57,9 +58,14 @@ def main():
 
         timed(1, salt + 1)
         timed(ITERS, salt + 2)
-        t1, r1 = timed(1, salt + 3)
-        tn, rn = timed(ITERS, salt + 4)
-        return (rn - r1) / max(tn - t1, 1e-9)
+        t1s, tns = [], []
+        r1 = rn = 0
+        for rep in range(REPEATS):
+            t1, r1 = timed(1, salt + 3 + 2 * rep)
+            tn, rn = timed(ITERS, salt + 4 + 2 * rep)
+            t1s.append(t1)
+            tns.append(tn)
+        return (rn - r1) / max(min(tns) - min(t1s), 1e-9)
 
     for tr in (16, 32, 64):
         for b in (16, 32, 64):

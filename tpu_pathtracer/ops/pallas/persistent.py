@@ -203,9 +203,17 @@ def _persistent_kernel(
     )
 
     def intersect(ox, oy, oz, dx, dy, dz):
-        """Unrolled closest-hit over the sphere scene (scene.h:71-94)."""
+        """Unrolled closest-hit over the sphere scene (scene.h:71-94).
+
+        Min-reduction form: each prim's valid t is kept in a register and
+        the winner is re-identified by `t_p == best_t` in the attribute
+        pass — cheaper on the VPU than carrying a best_p int through
+        compare+select chains. On exact f32 t ties the LAST matching prim
+        wins the attribute selects (the reference's first-closer-wins
+        differs only on measure-zero coincident surfaces).
+        """
         best_t = fzeros + BIG
-        best_p = jnp.zeros(shape, jnp.int32)
+        ts = []
         for p in range(n_prims):
             opx = prims_ref[p, 0] - ox
             opy = prims_ref[p, 1] - oy
@@ -217,42 +225,49 @@ def _persistent_kernel(
             t0 = b - sq
             # reference primitive.h:44 root selection (see trace_kernel.py)
             t = jnp.where(t0 > tmin, t0, b + sq)
-            closer = (det >= 0.0) & (t > tmin) & (t < best_t)
-            best_t = jnp.where(closer, t, best_t)
-            best_p = jnp.where(closer, p, best_p)
+            tv = jnp.where((det >= 0.0) & (t > tmin), t, BIG)
+            ts.append(tv)
+            best_t = jnp.minimum(best_t, tv)
         hit = best_t < (0.5 * BIG)
         hx = ox + dx * best_t
         hy = oy + dy * best_t
         hz = oz + dz * best_t
-        nx = fzeros; ny = fzeros; nz = fzeros
+        # attribute gather: one where-chain per scalar, then a single
+        # normal computation (the per-prim normal loop was ~2x the slots)
+        cx = fzeros; cy = fzeros; cz = fzeros; inv_r = fzeros
         ar = fzeros; ag = fzeros; ab = fzeros
+        is_ps = []
         for p in range(n_prims):
-            is_p = best_p == p
+            is_p = ts[p] == best_t
+            is_ps.append(is_p)
+            cx = jnp.where(is_p, prims_ref[p, 0], cx)
+            cy = jnp.where(is_p, prims_ref[p, 1], cy)
+            cz = jnp.where(is_p, prims_ref[p, 2], cz)
             # scalar reciprocal once per prim; vector divides are multi-op
             # on the VPU and this loop runs every wavefront iteration
-            inv_r = 1.0 / prims_ref[p, 3]
-            nx = jnp.where(is_p, (hx - prims_ref[p, 0]) * inv_r, nx)
-            ny = jnp.where(is_p, (hy - prims_ref[p, 1]) * inv_r, ny)
-            nz = jnp.where(is_p, (hz - prims_ref[p, 2]) * inv_r, nz)
+            inv_r = jnp.where(is_p, 1.0 / prims_ref[p, 3], inv_r)
             ar = jnp.where(is_p, prims_ref[p, 4], ar)
             ag = jnp.where(is_p, prims_ref[p, 5], ag)
             ab = jnp.where(is_p, prims_ref[p, 6], ab)
+        nx = (hx - cx) * inv_r
+        ny = (hy - cy) * inv_r
+        nz = (hz - cz) * inv_r
         coef = fzeros
         for p in (*spec_prims, *trans_prims):
-            coef = jnp.where(best_p == p, prims_ref[p, 7], coef)
+            coef = jnp.where(is_ps[p], prims_ref[p, 7], coef)
         er = fzeros; eg = fzeros; eb = fzeros
         for p in emissive:
-            is_p = best_p == p
+            is_p = is_ps[p]
             er = jnp.where(is_p, prims_ref[p, 9], er)
             eg = jnp.where(is_p, prims_ref[p, 10], eg)
             eb = jnp.where(is_p, prims_ref[p, 11], eb)
         is_s = jnp.zeros(shape, jnp.bool_)
         for p in spec_prims:
-            is_s = is_s | (best_p == p)
+            is_s = is_s | is_ps[p]
         is_t = jnp.zeros(shape, jnp.bool_)
         for p in trans_prims:
-            is_t = is_t | (best_p == p)
-        return (hit, best_p, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef,
+            is_t = is_t | is_ps[p]
+        return (hit, is_ps, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef,
                 is_s, is_t, er, eg, eb)
 
     # ---- load carried state
@@ -353,7 +368,7 @@ def _persistent_kernel(
         n_live = n_live + jnp.sum(alive.astype(jnp.int32))
 
         # ---- trace the pending segment
-        (hit, bp, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, is_s, is_t,
+        (hit, is_ps, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, is_s, is_t,
          er, eg, eb) = intersect(ox, oy, oz, dx, dy, dz)
         act = alive & hit
         wox, woy, woz = dx, dy, dz
@@ -366,7 +381,7 @@ def _persistent_kernel(
             for li, (ltype, lprim) in enumerate(lights_static):
                 if ltype != 1 or lprim < 0:
                     continue
-                m = bp == lprim
+                m = is_ps[lprim]
                 dlx = prims_ref[lprim, 0] - ox
                 dly = prims_ref[lprim, 1] - oy
                 dlz = prims_ref[lprim, 2] - oz
