@@ -11,7 +11,10 @@ set (config 5). Two estimators:
                   (models/integrator.py);
   - ``kernel``  : fused value-and-grad Pallas kernel with a streaming
                   adjoint (ops/pallas/replay_kernel.py) — loss AND both
-                  gradients in ONE walk (fwd+bwd ~= fwd cost).
+                  gradients in ONE walk (fwd+bwd ~= fwd cost);
+  - ``pkernel`` : the persistent fused kernel (replay_persistent.py) —
+                  the same streaming adjoint at path-regeneration
+                  occupancy (dead lanes start their pixel's next sample).
 
 Ray counting is HONEST and comparable with bench.py: a "ray" is a live
 path segment actually traced. The fwd pass traces S segments; replay's
@@ -22,7 +25,8 @@ instrumentation on identical RNG streams (replay and the integrator draw
 the same per-(lane,bounce) uniforms).
 
 Protocol: same slope timing as bench.py (K grads inside one jitted scan,
-elapsed(K)-elapsed(1), salted seeds).
+elapsed(K)-elapsed(1), min over repeats per endpoint — tunnel RTT noise
+is additive-positive — salted seeds).
 
 Usage: python benchmarks/bench_fwdbwd.py [--size 640x480] [--spp 1]
        [--estimator replay|autodiff] [--iters 8]
@@ -44,11 +48,31 @@ from tpu_pathtracer.models import camera as cm, scene as sc
 from tpu_pathtracer.models.integrator import RenderConfig, render
 
 
+REPEATS = 4  # min over repeats strips additive RTT noise (see bench.py)
+
+
+def _slope(timed, iters, salt):
+    """min-over-repeats slope between 1 and `iters` scan lengths."""
+    timed(1, salt + 1)
+    timed(iters, salt + 2)  # compile both
+    t1s, tns = [], []
+    last = None
+    for rep in range(REPEATS):
+        t1, _ = timed(1, salt + 3 + 2 * rep)
+        tn, last = timed(iters, salt + 4 + 2 * rep)
+        t1s.append(t1)
+        tns.append(tn)
+    return max(min(tns) - min(t1s), 1e-9), last
+
+
 def measure_kernel(width: int, height: int, spp: int, max_bounces: int,
-                   iters: int) -> tuple[float, float, int]:
+                   iters: int, persistent: bool) -> tuple[float, float, int]:
     """Fused fwd+bwd kernel: one walk = loss + grads. Segs counted by the
     kernel's own live-lane counter (same honest definition as bench.py)."""
     from tpu_pathtracer.ops.pallas.replay_kernel import mse_value_and_grad
+    from tpu_pathtracer.ops.pallas.replay_persistent import (
+        persistent_mse_value_and_grad,
+    )
 
     scene, cs = sc.cornell_spheres()
     camera = cm.make_camera(
@@ -56,11 +80,12 @@ def measure_kernel(width: int, height: int, spp: int, max_bounces: int,
     )
     target = jnp.zeros((height, width, 3), jnp.float32)
     seed = jnp.asarray([7, 0], jnp.int32)
+    vag = persistent_mse_value_and_grad if persistent else mse_value_and_grad
 
     @partial(jax.jit, static_argnames=("k",))
     def grads(salt, k):
         def body(acc, i):
-            loss, g, nrays = mse_value_and_grad(
+            loss, g, nrays = vag(
                 scene, camera, seed, salt + i, target, spp=spp,
                 max_bounces=max_bounces,
             )
@@ -81,11 +106,7 @@ def measure_kernel(width: int, height: int, spp: int, max_bounces: int,
         float(out)
         return time.perf_counter() - t0, int(n)
 
-    timed(1, salt + 1)
-    timed(iters, salt + 2)
-    t1, _ = timed(1, salt + 3)
-    tn, n_tot = timed(iters, salt + 4)
-    elapsed = max(tn - t1, 1e-9)
+    elapsed, n_tot = _slope(timed, iters, salt)
     segs_per_grad = n_tot // iters
     rays_per_sec = segs_per_grad * (iters - 1) / elapsed
     ms = elapsed / (iters - 1) * 1e3
@@ -94,8 +115,9 @@ def measure_kernel(width: int, height: int, spp: int, max_bounces: int,
 
 def measure(width: int, height: int, spp: int, max_bounces: int,
             estimator: str, iters: int) -> tuple[float, float, int]:
-    if estimator == "kernel":
-        return measure_kernel(width, height, spp, max_bounces, iters)
+    if estimator in ("kernel", "pkernel"):
+        return measure_kernel(width, height, spp, max_bounces, iters,
+                              persistent=estimator == "pkernel")
     scene, cs = sc.cornell_spheres()
     camera = cm.make_camera(
         cs["eye"], cs["look_at"], cs["up"], width, height, cs["fov"]
@@ -141,11 +163,7 @@ def measure(width: int, height: int, spp: int, max_bounces: int,
         float(grads(s, k))
         return time.perf_counter() - t0
 
-    timed(1, salt + 1)
-    timed(iters, salt + 2)
-    t1 = timed(1, salt + 3)
-    tn = timed(iters, salt + 4)
-    elapsed = max(tn - t1, 1e-9)
+    elapsed, _ = _slope(lambda k, s: (timed(k, s), 0), iters, salt)
     rays_per_sec = segs_per_grad * (iters - 1) / elapsed
     ms = elapsed / (iters - 1) * 1e3
     return rays_per_sec, ms, segs_per_grad
@@ -157,8 +175,8 @@ def main() -> None:
     ap.add_argument("--spp", type=int, default=1)
     ap.add_argument("--bounces", type=int, default=10)
     ap.add_argument("--estimator", default="replay",
-                    choices=["replay", "autodiff", "kernel"])
-    ap.add_argument("--iters", type=int, default=8)
+                    choices=["replay", "autodiff", "kernel", "pkernel"])
+    ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
     w, h = (int(x) for x in args.size.lower().split("x"))
     print(f"devices: {jax.devices()}")

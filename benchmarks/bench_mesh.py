@@ -73,9 +73,15 @@ def main() -> None:
     it = args.iters
     timed(1, salt + 1)
     timed(it, salt + 2)
-    t1, _ = timed(1, salt + 3)
-    tn, n_tot = timed(it, salt + 4)
-    elapsed = max(tn - t1, 1e-9)
+    # min over repeats per endpoint: RTT noise is additive-positive
+    t1s, tns = [], []
+    n_tot = 0
+    for rep in range(3):
+        t1, _ = timed(1, salt + 3 + 2 * rep)
+        tn, n_tot = timed(it, salt + 4 + 2 * rep)
+        t1s.append(t1)
+        tns.append(tn)
+    elapsed = max(min(tns) - min(t1s), 1e-9)
     ms = elapsed / (it - 1) * 1e3
     segs = n_tot // it
     print(

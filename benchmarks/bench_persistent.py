@@ -66,9 +66,15 @@ def measure(budget: int, tile_rows: int, iters: int = 20,
 
     timed(1, salt + 1)
     timed(iters, salt + 2)
-    t1, r1 = timed(1, salt + 3)
-    tn, rn = timed(iters, salt + 4)
-    elapsed = max(tn - t1, 1e-9)
+    # min over repeats per endpoint: RTT noise is additive-positive
+    t1s, tns = [], []
+    r1 = rn = 0
+    for rep in range(3):
+        t1, r1 = timed(1, salt + 3 + 2 * rep)
+        tn, rn = timed(iters, salt + 4 + 2 * rep)
+        t1s.append(t1)
+        tns.append(tn)
+    elapsed = max(min(tns) - min(t1s), 1e-9)
     rays_per_sec = (rn - r1) / elapsed
     ms_per_step = elapsed / (iters - 1) * 1e3
     return rays_per_sec, ms_per_step

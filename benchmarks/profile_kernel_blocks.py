@@ -56,6 +56,62 @@ PATCHES = {
         "        ux = nx + 1.0; uy = ny; uz = nz\n"
         "        vx = nx; vy = ny + 1.0; vz = nz\n",
     )],
+    # branchless Frisvad ONB (no normalize, one reciprocal) — candidate
+    # replacement for the pick-axis + normalize construction
+    "frisvad_onb": [(
+        "        use_x = jnp.abs(nx) > jnp.abs(nz)\n"
+        "        ux = jnp.where(use_x, -ny, 0.0)\n"
+        "        uy = jnp.where(use_x, nx, -nz)\n"
+        "        uz = jnp.where(use_x, 0.0, ny)\n"
+        "        ux, uy, uz = _normalize3(ux, uy, uz)\n"
+        "        vx = ny * uz - nz * uy\n"
+        "        vy = nz * ux - nx * uz\n"
+        "        vz = nx * uy - ny * ux\n",
+        "        sgn_o = jnp.where(nz >= 0.0, 1.0, -1.0)\n"
+        "        a_o = -1.0 / (sgn_o + nz)\n"
+        "        onb_b = nx * ny * a_o\n"
+        "        ux = 1.0 + sgn_o * nx * nx * a_o\n"
+        "        uy = sgn_o * onb_b\n"
+        "        uz = -sgn_o * nx\n"
+        "        vx = onb_b\n"
+        "        vy = sgn_o + ny * ny * a_o\n"
+        "        vz = -ny\n",
+    )],
+    # sqrt-free any-hit: the shadow occlusion boolean phrased in compares
+    # against e^2 instead of computing sqrt(det) + root selection
+    "anyhit_sqrtfree": [(
+        "                for pp in range(n_prims):\n"
+        "                    sx2 = prims_ref[pp, 0] - hx\n"
+        "                    sy2 = prims_ref[pp, 1] - hy\n"
+        "                    sz2 = prims_ref[pp, 2] - hz\n"
+        "                    rb = _dot3(sx2, sy2, sz2, wlx, wly, wlz)\n"
+        "                    rdet = (\n"
+        "                        rb * rb - _dot3(sx2, sy2, sz2, sx2, sy2, sz2)\n"
+        "                        + prims_ref[pp, 3] * prims_ref[pp, 3]\n"
+        "                    )\n"
+        "                    rsq = jnp.sqrt(jnp.maximum(rdet, 0.0))\n"
+        "                    rt = jnp.where(rb - rsq > tmin, rb - rsq, rb + rsq)\n"
+        "                    occ = occ | ((rdet >= 0.0) & (rt > tmin) & (rt < smax))\n",
+        "                e1s = -(tmin + 0.0)\n"
+        "                for pp in range(n_prims):\n"
+        "                    sx2 = prims_ref[pp, 0] - hx\n"
+        "                    sy2 = prims_ref[pp, 1] - hy\n"
+        "                    sz2 = prims_ref[pp, 2] - hz\n"
+        "                    rb = _dot3(sx2, sy2, sz2, wlx, wly, wlz)\n"
+        "                    rdet = (\n"
+        "                        rb * rb - _dot3(sx2, sy2, sz2, sx2, sy2, sz2)\n"
+        "                        + prims_ref[pp, 3] * prims_ref[pp, 3]\n"
+        "                    )\n"
+        "                    e1 = rb + e1s\n"
+        "                    e2 = rb - smax\n"
+        "                    q1 = e1 * e1\n"
+        "                    q2 = e2 * e2\n"
+        "                    A = (e1 > 0.0) & (rdet < q1)\n"
+        "                    B = (e2 < 0.0) | (rdet > q2)\n"
+        "                    Cc = (e1 > 0.0) | (rdet > q1)\n"
+        "                    Dd = (e2 < 0.0) & (rdet < q2)\n"
+        "                    occ = occ | ((rdet >= 0.0) & ((A & B) | (~A & Cc & Dd)))\n",
+    )],
     "no_campixel": [(
         "        gdx = cam_ref[0] - cam_ref[6] * sy + cam_ref[3] * sx\n"
         "        gdy = cam_ref[1] - cam_ref[7] * sy + cam_ref[4] * sx\n"

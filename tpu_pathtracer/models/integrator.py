@@ -57,6 +57,12 @@ class RenderConfig:
     remat: bool = flax.struct.field(pytree_node=False, default=True)
     # Make trace() also return the traced-ray count (bench instrumentation).
     count_rays: bool = flax.struct.field(pytree_node=False, default=False)
+    # Keep the |wi.n| cosine ATTACHED in the diffuse throughput update
+    # (as cos/sg(cos): primal-identical, so images don't change). The
+    # default closed form bakes cos/pdf = pi, which is exact but erases
+    # the shading normal's parameter dependence — geometry gradients
+    # (diff/geometry.py interior term) need it kept.
+    attached_geom: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 def _maybe_detach(x: Array, detach: bool) -> Array:
@@ -243,10 +249,22 @@ def trace(
         # backward blows up (-cos/pdf^2 -> inf at denormal grazing cos)
         # and poisons attached-sampling gradients (tests/test_score.py).
         # Masked lanes (pdf == 0) are excluded by step_ok as before.
+        if config.attached_geom:
+            # detached-pdf estimator with the cosine attached: the pdf is
+            # the sampling-time constant cos0/pi, so the diffuse weight is
+            # (albedo/pi) * cos / (cos0/pi) = albedo * cos/cos0 with
+            # cos0 = sg(cos). Primal ratio is exactly 1; the gradient
+            # carries d cos(wi, n)/d geometry (diff/geometry.py interior).
+            cos0 = jnp.maximum(lax.stop_gradient(cos_wi), 1e-6)
+            diff_w = hit.albedo * jnp.where(
+                lax.stop_gradient(cos_wi) > 1e-6, cos_wi / cos0, 1.0
+            )[:, None]
+        else:
+            diff_w = hit.albedo
         weight = jnp.where(
             bsdf.is_specular_type(hit.mtype)[:, None],
             f_val * cos_wi[:, None],
-            hit.albedo,
+            diff_w,
         )
         step_ok = alive & contrib_ok
         T = jnp.where(step_ok[:, None], T * weight, T)

@@ -420,7 +420,10 @@ def _replay_kernel(
         )
 
         won = _dot3(wox, woy, woz, nx, ny, nz)
-        if spec_prims:
+        if spec_prims or trans_prims:
+            # Mirror reflection is invariant under n -> -n (the 2(wo.n)n
+            # term flips sign twice), so one reflect serves both the
+            # specular lobe and the dielectric's reflected branch.
             wsx = wox - 2.0 * won * nx
             wsy = woy - 2.0 * won * ny
             wsz = woz - 2.0 * won * nz
@@ -441,17 +444,19 @@ def _replay_kernel(
             refl = jnp.where(sin2t > 1.0, 1.0,
                              0.5 * (r_orth * r_orth + r_par * r_par))
             do_reflect = u1 < refl
-            wonn = _dot3(wox, woy, woz, nnx, nny, nnz)
-            rfx = wox - 2.0 * wonn * nnx
-            rfy = woy - 2.0 * wonn * nny
-            rfz = woz - 2.0 * wonn * nnz
+            # The refracted direction is unit by construction: with unit
+            # wo and unit nn, |eta*wo + (eta*cos_i - cos_t)*nn|^2 =
+            # eta^2(1-cos_i^2) + cos_t^2 = sin2t + cos_t^2 = 1 (when
+            # sin2t <= 1; TIR lanes have refl == 1 so do_reflect always
+            # selects the reflected branch and the non-unit tx is never
+            # used). No re-normalize; reflected branch reuses ws (mirror
+            # reflect is invariant under n -> -n).
             txx = wox * eta - (eta * (-cos_i) + cos_t) * nnx
             txy = woy * eta - (eta * (-cos_i) + cos_t) * nny
             txz = woz * eta - (eta * (-cos_i) + cos_t) * nnz
-            txx, txy, txz = _normalize3(txx, txy, txz)
-            wtx = jnp.where(do_reflect, rfx, txx)
-            wty = jnp.where(do_reflect, rfy, txy)
-            wtz = jnp.where(do_reflect, rfz, txz)
+            wtx = jnp.where(do_reflect, wsx, txx)
+            wty = jnp.where(do_reflect, wsy, txy)
+            wtz = jnp.where(do_reflect, wsz, txz)
 
         wix, wiy, wiz = wdx, wdy, wdz
         fr, fg, fb = ar * INV_PI, ag * INV_PI, ab * INV_PI
