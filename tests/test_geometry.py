@@ -1,0 +1,95 @@
+"""Geometry gradients (diff/geometry.py): silhouette edge sampling + the
+attached-geom interior term, validated against finite differences.
+
+FD caveat: with fixed jitters the rendered functional is a STAIRCASE in
+geometry parameters (a sample either crosses the moving silhouette or it
+doesn't), so FD needs a step large enough to sweep many samples across
+the edge; tolerances here reflect that MC noise, not estimator bias.
+The pure-coverage case (emissive sphere, no bounces) isolates the
+boundary term — there the interior is exactly zero and agreement is a
+few percent.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpu_pathtracer.models.scene as sc
+import tpu_pathtracer.models.camera as cm
+from tpu_pathtracer.models.integrator import RenderConfig, render
+from tpu_pathtracer.diff.geometry import geometry_grads
+
+W, H = 48, 36
+
+
+@pytest.fixture(scope="module")
+def coverage_case():
+    """One emissive sphere on black: gradient is 100% boundary term."""
+    mats = [sc.diffuse([0.0, 0.0, 0.0])]
+    prims = [sc.sphere([0.0, 0.0, 0.0], 8.0, 0, 0)]
+    scene = sc.make_scene(prims, mats, [sc.area_light(0, [5.0] * 3)])
+    cam = cm.make_camera([0.0, 5.0, 60.0], [0.0, 0.0, 0.0],
+                         [0.0, 1.0, 0.0], W, H, 45.0)
+    config = RenderConfig(spp=48, max_bounces=0)
+    key = jax.random.key(3)
+    wimg = jnp.asarray(
+        np.random.default_rng(11).random((H, W, 3), np.float32)
+    )
+
+    def J(centers, radii):
+        s = scene.replace(centers=centers, radii=radii)
+        return float(jnp.sum(render(s, cam, key, config, iteration=0)
+                             * wimg))
+
+    return scene, cam, config, key, wimg, J
+
+
+def test_boundary_radius_matches_fd(coverage_case):
+    scene, cam, config, key, wimg, J = coverage_case
+    g = geometry_grads(scene, cam, key, config, wimg, n_edge_samples=4096)
+    h = 0.25
+    fd = (J(scene.centers, scene.radii.at[0].add(h))
+          - J(scene.centers, scene.radii.at[0].add(-h))) / (2 * h)
+    assert fd > 0  # growing an emitter on black must increase J
+    np.testing.assert_allclose(float(g["radii"][0]), fd, rtol=0.1)
+
+
+def test_boundary_center_matches_fd(coverage_case):
+    scene, cam, config, key, wimg, J = coverage_case
+    g = geometry_grads(scene, cam, key, config, wimg, n_edge_samples=4096)
+    # z (toward/away from camera) has the largest, most FD-stable
+    # component: moving closer grows the projection.
+    h = 0.4
+    fd = (J(scene.centers.at[0, 2].add(h), scene.radii)
+          - J(scene.centers.at[0, 2].add(-h), scene.radii)) / (2 * h)
+    np.testing.assert_allclose(float(g["centers"][0, 2]), fd, rtol=0.15)
+
+
+def test_wall_spheres_contribute_no_boundary():
+    """Camera inside a sphere (Cornell walls): silhouette term is zero and
+    finite — the D > r guard, not NaNs."""
+    scene, cs = sc.cornell_spheres()
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 32, 24,
+                         cs["fov"])
+    config = RenderConfig(spp=4, max_bounces=2)
+    wimg = jnp.ones((24, 32, 3), jnp.float32)
+    g = geometry_grads(scene, cam, jax.random.key(0), config, wimg,
+                       n_edge_samples=256)
+    assert np.isfinite(np.asarray(g["centers"])).all()
+    assert np.isfinite(np.asarray(g["radii"])).all()
+
+
+def test_attached_geom_primal_identical():
+    """attached_geom must not change the rendered image (cos/sg(cos) == 1)."""
+    scene, cs = sc.cornell_spheres()
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 32, 24,
+                         cs["fov"])
+    key = jax.random.key(5)
+    img_a = render(scene, cam, key, RenderConfig(spp=4, max_bounces=4),
+                   iteration=0)
+    img_b = render(scene, cam, key,
+                   RenderConfig(spp=4, max_bounces=4, attached_geom=True),
+                   iteration=0)
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))

@@ -398,7 +398,14 @@ def _preplay_kernel(
                     is_delta = True
                 smax = dist_l * (1.0 - 1e-3) - tmin
                 occ = jnp.zeros(shape, jnp.bool_)
+                # Skip the sampled light sphere itself: a valid cone
+                # sample's first hit on it is thit > smax by construction
+                # (smax = thit*(1-1e-3)-tmin), so it can never occlude —
+                # dropping it is bit-identical and saves one quadratic.
+                skip_pp = lprim if (ltype == 1 and lprim >= 0) else -1
                 for pp in range(n_prims):
+                    if pp == skip_pp:
+                        continue
                     sx2 = prims_ref[pp, 0] - hx
                     sy2 = prims_ref[pp, 1] - hy
                     sz2 = prims_ref[pp, 2] - hz
