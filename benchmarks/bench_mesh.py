@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--no-nee", action="store_true")
     ap.add_argument("--no-packet", action="store_true")
+    ap.add_argument("--no-shadow-sort", action="store_true",
+                    help="shadow waves ride the bounce-level carry order")
     args = ap.parse_args()
     w, h = (int(x) for x in args.size.lower().split("x"))
     print(f"devices: {jax.devices()}", flush=True)
@@ -45,7 +47,7 @@ def main() -> None:
     )
     config = RenderConfig(
         spp=args.spp, max_bounces=args.bounces, use_nee=not args.no_nee,
-        count_rays=True,
+        count_rays=True, shadow_self_sort=not args.no_shadow_sort,
     )
     key = jax.random.key(0)
 

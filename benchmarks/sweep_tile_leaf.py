@@ -66,12 +66,12 @@ def main():
             return out
         return fn
 
-    for cl in (16, 32, 64):
+    for cl in (8, 16, 32):
         packed = pack_mesh(mesh, collapse_leaf=cl)
         print(f"collapse_leaf={cl}: nodes={packed.num_nodes} "
               f"tri_rows={packed.tri_rows.shape[0]} "
               f"leaf_size={packed.leaf_size}", flush=True)
-        for tr in (8, 16, 32):
+        for tr in (8, 16):
             ms = slope(wave(packed, tr, False))
             ms_sh = slope(wave(packed, tr, True))
             print(f"  tile_rows={tr:2d}: closest {ms:6.1f} ms   "

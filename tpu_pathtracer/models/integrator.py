@@ -57,6 +57,13 @@ class RenderConfig:
     remat: bool = flax.struct.field(pytree_node=False, default=True)
     # Make trace() also return the traced-ray count (bench instrumentation).
     count_rays: bool = flax.struct.field(pytree_node=False, default=False)
+    # Packet-mesh scenes: give the NEE shadow wave its own coherence sort
+    # (key on origin = hit.p) instead of riding the bounce-level carry
+    # order, which is keyed on the INCOMING segment and says nothing about
+    # where the segments landed. Costs one argsort + one packed (N,7) row
+    # gather per shadow wave; measured A/B on config 4 (bench_mesh
+    # --no-shadow-sort for the off state).
+    shadow_self_sort: bool = flax.struct.field(pytree_node=False, default=True)
     # Keep the |wi.n| cosine ATTACHED in the diffuse throughput update
     # (as cos/sg(cos): primal-identical, so images don't change). The
     # default closed form bakes cos/pdf = pi, which is exact but erases
@@ -212,9 +219,13 @@ def trace(
             # the light surface itself (f32 quadratic error on giant
             # spheres), not enough to skip real occluders.
             vis_tmax = ls.dist * (1.0 - 1e-3) - EPSILON
+            # See RenderConfig.shadow_self_sort: the shadow wave sorts on
+            # its OWN key (origin = hit.p, direction = to-light) instead
+            # of the stale carry order.
             occluded = intersect_p(
                 scene, hit.p, ls.wi, tmin=config.tmin, tmax=vis_tmax,
-                mask=alive & ls.valid, presorted=bounce_sort,
+                mask=alive & ls.valid,
+                presorted=bounce_sort and not config.shadow_self_sort,
             )
             w_l = jnp.where(
                 ls.is_delta,

@@ -28,8 +28,11 @@ dominated the round-1 frame time):
     the winning hit, killing the post-traversal per-lane gathers
     (the round-1 ops/intersect.py jnp.take chain).
 
-VMEM layout (the whole acceleration structure is VMEM-resident):
-  - nodes: (M, 16) f32 rows [min3 max3 skip start count pad...];
+On-chip layout (the whole acceleration structure is chip-resident):
+  - nodes: split into a flat (M*6,) f32 AABB table and a flat (M*3,) i32
+    [skip start count] table, both SMEM (1-D — SMEM pads 2-D rows to
+    512 B) so the walk reads node fields as true scalar loads broadcast
+    into the vector AABB test; VMEM (lane-extract reads) past ~19k nodes;
   - triangles: 8 slots of 16 floats per 128-lane row; leaf starts ALIGNED
     to 8 at pack time so a leaf is a contiguous row block readable at a
     scalar row offset with STATIC lane offsets.
@@ -214,7 +217,9 @@ def pack_mesh(mesh: MeshData, collapse_leaf: int = 64) -> PackedMesh:
 
 def _packet_kernel(
     flags_ref,  # scalar prefetch: (n_tiles,) int32 — any live lane?
-    nodes_ref,  # (M, 16) VMEM
+    box_ref,  # (M*6,) f32 node AABBs [min3 max3] flat — SMEM (1-D: SMEM
+    #          pads every 2-D ROW to 512 B, so tables must be flat)
+    meta_ref,  # (M*3,) i32 [skip start count] flat — SMEM
     tris_ref,  # (R, 128) VMEM
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (rows, 128)
     t0_ref,  # (rows, 128) per-lane start distance; <= 0 marks a dead lane
@@ -225,6 +230,7 @@ def _packet_kernel(
     leaf_rows: int,
     tmin: float,
     occlusion: bool,
+    flat_nodes: bool,
 ):
     tile = pl.program_id(0)
     ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
@@ -248,14 +254,22 @@ def _packet_kernel(
     mat_ref[:, :] = jnp.zeros((rows, LANES), jnp.int32)
 
     def body(n):
-        nd = nodes_ref[n]  # (16,) scalar row
+        # node fields are true scalar loads from SMEM broadcast into the
+        # vector op — the old VMEM-row + lane-extract formulation paid
+        # vector-pipeline stalls per step, and the walk is node-step-bound
+        # on incoherent waves
         t_cur = t_ref[:, :]
-        tx0 = (nd[0] - ox) * ix
-        tx1 = (nd[3] - ox) * ix
-        ty0 = (nd[1] - oy) * iy
-        ty1 = (nd[4] - oy) * iy
-        tz0 = (nd[2] - oz) * iz
-        tz1 = (nd[5] - oz) * iz
+        if flat_nodes:
+            b6 = n * 6
+            bx = lambda k: box_ref[b6 + k]
+        else:
+            bx = lambda k: box_ref[n, k]
+        tx0 = (bx(0) - ox) * ix
+        tx1 = (bx(3) - ox) * ix
+        ty0 = (bx(1) - oy) * iy
+        ty1 = (bx(4) - oy) * iy
+        tz0 = (bx(2) - oz) * iz
+        tz1 = (bx(5) - oz) * iz
         tn = jnp.maximum(
             jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
             jnp.minimum(tz0, tz1),
@@ -272,9 +286,14 @@ def _packet_kernel(
             box_hit = box_hit & (t_cur > 0.0)
         any_hit = jnp.sum(box_hit.astype(jnp.int32)) > 0
 
-        skip = nd[6].astype(jnp.int32)
-        start = nd[7].astype(jnp.int32)
-        count = nd[8].astype(jnp.int32)
+        if flat_nodes:
+            m3 = n * 3
+            mt = lambda k: meta_ref[m3 + k]
+        else:
+            mt = lambda k: meta_ref[n, k]
+        skip = mt(0)
+        start = mt(1)
+        count = mt(2)
         is_leaf = count > 0
 
         @pl.when(any_hit & is_leaf)
@@ -387,14 +406,34 @@ def _run_packet(flags, nodes, tri_rows, o_planes, d_planes, t0_plane,
     lane_spec = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0))
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i, *_: (0, 0),
                                     memory_space=pltpu.VMEM)
+    # Node fields are read as per-step scalars; SMEM makes those true
+    # scalar loads. SMEM (~1 MB) pads every 2-D ROW to 512 B, so the
+    # tables are FLAT 1-D arrays (M*6 f32 + M*3 i32 = 36 B/node -> ~25k
+    # nodes fit with room to spare); beyond that fall back to VMEM
+    # (scalar reads become vector-lane extracts — slower per step).
+    flat_nodes = 36 * n_nodes <= 700_000
+    if flat_nodes:
+        # flat 1-D SMEM tables (scalar-indexed at [n*6+k] / [n*3+k])
+        node = lambda arr: pl.BlockSpec(arr.shape, lambda i, *_: (0,),
+                                        memory_space=pltpu.SMEM)
+        box = nodes[:, 0:6].reshape(-1)
+        meta = nodes[:, 6:9].astype(jnp.int32).reshape(-1)
+    else:
+        # 2-D VMEM fallback, indexed [n, k] (Mosaic cannot prove the
+        # alignment of a flat dynamic scalar load from VMEM)
+        node = lambda arr: pl.BlockSpec(arr.shape, lambda i, *_: (0, 0),
+                                        memory_space=pltpu.VMEM)
+        box = nodes[:, 0:6]
+        meta = nodes[:, 6:9].astype(jnp.int32)
     kernel = functools.partial(
         _packet_kernel, rows=tile_rows, n_nodes=n_nodes,
         leaf_rows=leaf_rows, tmin=tmin, occlusion=any_hit,
+        flat_nodes=flat_nodes,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(rows_total // tile_rows,),
-        in_specs=[full(nodes), full(tri_rows)]
+        in_specs=[node(box), node(meta), full(tri_rows)]
         + [lane_spec] * 7,
         out_specs=[lane_spec] * 8,
     )
@@ -413,7 +452,7 @@ def _run_packet(flags, nodes, tri_rows, o_planes, d_planes, t0_plane,
             jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32),  # mat
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(flags, nodes, tri_rows, *o_planes, *d_planes, t0_plane)
+    )(flags, box, meta, tri_rows, *o_planes, *d_planes, t0_plane)
 
 
 @flax.struct.dataclass
@@ -488,12 +527,27 @@ def intersect_mesh_packet(
         inv = jnp.zeros_like(perm).at[perm].set(
             jnp.arange(perm.shape[0], dtype=perm.dtype)
         )
+        # One packed (N, 7) row gather instead of 3 separate takes (the
+        # same trick as the integrator's bounce-level carry permute).
+        packed_rays = jnp.take(
+            jnp.concatenate([o, d, t_init[:, None]], axis=1), perm, axis=0
+        )
         hit = intersect_mesh_packet(
-            packed, jnp.take(o, perm, axis=0), jnp.take(d, perm, axis=0),
+            packed, packed_rays[:, 0:3], packed_rays[:, 3:6],
             tmin, tile_rows=tile_rows, sort=False,
-            t_init=jnp.take(t_init, perm), any_hit=any_hit,
+            t_init=packed_rays[:, 6], any_hit=any_hit,
             interpret=interpret,
         )
+        if any_hit:
+            # occlusion queries only consume t; tri/n/uv/mat are zeros by
+            # construction — skip their un-permutes entirely
+            return PacketHit(
+                t=jnp.take(hit.t, inv),
+                tri=jnp.zeros((n,), jnp.int32),
+                n=jnp.zeros((n, 3), jnp.float32),
+                uv=jnp.zeros((n, 2), jnp.float32),
+                mat=jnp.zeros((n,), jnp.int32),
+            )
         return PacketHit(
             t=jnp.take(hit.t, inv),
             tri=jnp.take(hit.tri, inv),
