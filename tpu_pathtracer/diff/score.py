@@ -36,6 +36,13 @@ edge-free integrands (silhouette terms of moving refracted rays are not
 estimated — same assumption as camera-pose gradients); the score part is
 unbiased but higher-variance, concentrate samples on the glass (FD
 validation: tests/test_score.py, glass-ball Cornell fixture).
+
+Both transport modes are supported. Under NEE (config.use_nee) the NEE
+terms are linear in light intensity and carry no ior dependence at the
+transmissive vertex (dielectrics take no NEE, ops/bsdf.f; MIS weights
+through delta lobes are identically 1), so the score FACTOR is unchanged
+— only the radiance prefix must track the NEE transport so the suffix
+recurrence splits the estimate at the right vertex.
 """
 from __future__ import annotations
 
@@ -46,9 +53,11 @@ import jax.numpy as jnp
 from jax import Array, lax
 
 from tpu_pathtracer.models.integrator import RenderConfig, render
-from tpu_pathtracer.models.scene import TRANSMISSIVE, Scene, prim_attrs
-from tpu_pathtracer.ops import bsdf, optics, vecmath as vm
-from tpu_pathtracer.ops.intersect import intersect
+from tpu_pathtracer.models.scene import (
+    EPSILON, TRANSMISSIVE, Scene, prim_attrs,
+)
+from tpu_pathtracer.ops import bsdf, lights, optics, sampling, vecmath as vm
+from tpu_pathtracer.ops.intersect import intersect, intersect_p
 from tpu_pathtracer.utils import rng
 
 
@@ -79,31 +88,83 @@ def _score_walk(scene: Scene, o: Array, d: Array, lane_ids: Array,
     M = scene.mat_color.shape[0]
 
     hit0 = intersect(scene, attrs, o, d, tmin=config.tmin)
+    prev_pdf0 = o[:, 0] * 0.0
     carry0 = (
         jnp.zeros_like(o),  # L prefix
         jnp.ones_like(o),  # T (for RR parity with the primal walk)
         hit0.hit,
         hit0,
         d,
+        prev_pdf0,  # MIS: pdf of the BSDF draw that produced this hit
+        prev_pdf0 <= 0.0,  # MIS: delta-lobe flag
+        o,  # MIS: previous vertex position
         jnp.zeros((M,)),
     )
 
     def body(carry, bounce):
-        L, T, alive, hit, wo, gC = carry
+        L, T, alive, hit, wo, prev_pdf, prev_delta, prev_o, gC = carry
         u = rng.bounce_uniforms(it_key, bounce, lane_ids)
 
         one_sided = vm.dot(hit.n, -wo) > 0.0
         take_le = alive & one_sided
-        # Score gradients target the brute-force transport (NEE adds terms
-        # linear in intensity, not extra ior dependence at the transmissive
-        # vertex — dielectrics have no NEE support, ops/bsdf.f).
+        # NEE adds terms that are linear in intensity and carry NO extra
+        # ior dependence at the transmissive vertex (dielectrics have no
+        # NEE support, ops/bsdf.f; MIS weights at/through delta lobes are
+        # sampling quantities with prev_delta=1 -> w=1). The score factor
+        # is therefore UNCHANGED under NEE — only the radiance prefix L
+        # must track the NEE transport so suffix_b = L_total - L_prefix
+        # splits the estimate at the right vertex. This block mirrors
+        # diff/replay._walk's NEE+MIS exactly (same streams).
         if config.use_nee:
-            raise NotImplementedError(
-                "score-function ior gradients: brute-force mode only "
-                "(use_nee=False); the glass vertices are NEE-free either "
-                "way"
+            is_light = ~vm.is_black(hit.emission)
+            lp = lights.light_dir_pdf(
+                scene, prev_o, wo, hit.center, hit.radius, is_light,
+                hit_prim=hit.prim,
             )
-        L = L + T * hit.emission * take_le[:, None].astype(T.dtype)
+            if scene.has_tri_lights:
+                is_tri_hit = hit.prim >= P
+                fac = jnp.take(
+                    lights.tri_sel_over_area_by_mat(scene, lp.dtype),
+                    jnp.clip(hit.mat, 0, M - 1),
+                )
+                tt = jnp.minimum(hit.t, 1e6)
+                cos_l = jnp.abs(vm.dot(hit.n, wo))
+                lp_tri = tt * tt / jnp.maximum(cos_l, 1e-9) * fac
+                lp = jnp.where(is_tri_hit, lax.stop_gradient(lp_tri), lp)
+            w_emit = jnp.where(
+                prev_delta, 1.0,
+                sampling.power_heuristic(1.0, prev_pdf, 1.0, lp),
+            )
+        else:
+            w_emit = jnp.ones_like(prev_pdf)
+        take = (take_le.astype(T.dtype) * w_emit)[:, None]
+        L = L + T * hit.emission * take
+
+        if config.use_nee:
+            ul = rng.light_uniforms(it_key, bounce, lane_ids)
+            ls = lights.sample_lights(scene, hit.p, ul, tmin=config.tmin)
+            f_l = bsdf.f(hit.mtype, hit.albedo, wo, ls.wi, hit.n)
+            pdf_b = bsdf.pdf(hit.mtype, wo, ls.wi, hit.n)
+            vis_tmax = ls.dist * (1.0 - 1e-3) - EPSILON
+            occluded = intersect_p(
+                scene, hit.p, ls.wi, tmin=config.tmin, tmax=vis_tmax
+            )
+            w_l = jnp.where(
+                ls.is_delta,
+                1.0,
+                sampling.power_heuristic(1.0, ls.pdf, 1.0, pdf_b),
+            )
+            cos_l = jnp.abs(vm.dot(ls.wi, hit.n))
+            take_nee = alive & ls.valid & ~occluded
+            L = L + (
+                T * f_l * ls.radiance
+                * jnp.where(
+                    ls.pdf > 0.0,
+                    cos_l * w_l / jnp.where(ls.pdf > 0.0, ls.pdf, 1.0),
+                    0.0,
+                )[:, None]
+                * take_nee[:, None].astype(T.dtype)
+            )
 
         f_val, wi, pdf = bsdf.sample(
             hit.mtype, hit.albedo, hit.coef, wo, hit.n, u[:, 0], u[:, 1]
@@ -142,8 +203,11 @@ def _score_walk(scene: Scene, o: Array, d: Array, lane_ids: Array,
         wi = jnp.where(av, wi, jnp.zeros_like(wi).at[:, 2].set(1.0))
         new_hit = intersect(scene, attrs, safe_o, wi, tmin=config.tmin)
         alive = alive & new_hit.hit
+        new_prev_delta = bsdf.is_specular_type(hit.mtype)
 
-        # suffix_b = L_total - L_prefix (radiance gathered at vertices > b)
+        # suffix_b = L_total - L_prefix (radiance gathered at vertices > b;
+        # under NEE, L already holds this vertex's NEE term, which does NOT
+        # depend on the Fresnel choice made here — dielectrics take no NEE)
         from tpu_pathtracer.diff.replay import _hot, _mm
 
         suffix = jnp.sum(g * (L_total - L), axis=-1)
@@ -153,7 +217,8 @@ def _score_walk(scene: Scene, o: Array, d: Array, lane_ids: Array,
         mat_hot = _hot(mid, M, jnp.float32)
         gC = gC + _mm(contrib[None, :], mat_hot)[0]
 
-        return (L, T, alive, new_hit, wi, gC), None
+        return (L, T, alive, new_hit, wi, pdf, new_prev_delta, safe_o,
+                gC), None
 
     bounces = jnp.arange(config.max_bounces + 1)
     out, _ = lax.scan(body, carry0, bounces)
@@ -171,8 +236,8 @@ def ior_value_and_grad(
     """sum(weights * image) and its gradient w.r.t. scene.mat_coef (M,).
 
     Combined estimator: attached autodiff (continuous refraction bending,
-    edge-free) + score function (the discrete Fresnel choice). Use
-    brute-force transport (config.use_nee=False)."""
+    edge-free) + score function (the discrete Fresnel choice), in either
+    transport mode (brute-force or NEE+MIS via config.use_nee)."""
     from tpu_pathtracer.models import camera as cam_mod
     from tpu_pathtracer.ops import sampling
 
