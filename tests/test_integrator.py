@@ -203,6 +203,32 @@ def test_golden_cornell_boxes():
     np.testing.assert_allclose(img, want, rtol=1e-4, atol=1e-5)
 
 
+def test_golden_cornell_glass():
+    """Regression snapshot of config 3 proper: triangle-quad Cornell
+    walls + mirror/glass spheres — the one fixture exercising mesh +
+    dielectric together (paths refract through the glass ball and then
+    hit triangle geometry)."""
+    scene, cs = sc.cornell_glass()
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 48, 36, cs["fov"])
+    cfg = RenderConfig(spp=2, max_bounces=6, use_nee=True)
+    img = np.array(render_image(scene, cam, jax.random.key(9), cfg))
+    assert np.all(np.isfinite(img)) and np.all(img >= 0)
+    # Distinct fixture semantics: colored side walls (camera-left is the
+    # +x red wall), and the center rows are lit (not a black render).
+    mid = img[12:24]
+    assert mid.mean() > 1e-3
+    left, right = img[:, :16].mean(axis=(0, 1)), img[:, 32:].mean(axis=(0, 1))
+    assert left[0] > left[2], "camera-left should tint red"
+    assert right[2] > right[0], "camera-right should tint blue"
+    path = os.path.join(GOLDEN_DIR, "cornell_glass_48_2spp.npy")
+    if not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.save(path, img)
+        pytest.skip("golden image generated; rerun to compare")
+    want = np.load(path)
+    np.testing.assert_allclose(img, want, rtol=1e-4, atol=1e-5)
+
+
 def test_spp_nine_stratification():
     """Non-4 square spp (3x3 grid) renders and stays stratified."""
     scene, cs = sc.single_sphere()

@@ -458,12 +458,47 @@ def single_sphere() -> tuple[Scene, dict]:
 
 
 def cornell_glass() -> tuple[Scene, dict]:
-    """BASELINE.json config 3: Cornell box + mirror/glass spheres.
+    """BASELINE.json config 3: Cornell box + mirror/glass spheres — a
+    DISTINCT fixture (not the cornell_spheres alias): triangle-quad
+    Cornell walls (real mesh geometry through the BVH path) with a
+    mirror sphere and a dielectric glass sphere inside, under a sphere
+    area emitter. The only fixture exercising mesh + dielectric
+    together — paths refract through the glass ball and then intersect
+    triangle walls.
 
-    Same geometry family as cornell_spheres (the reference's only Cornell
-    variant) with both specular BSDFs exercised.
+    Geometry family: the reference's "scene 2" layout (main.cpp:152-161:
+    blue left / red right / grey box, mirror at (-25,16.5,-50), glass at
+    (25,16.5,-25)) with its giant-sphere walls replaced by actual quads.
     """
-    return cornell_spheres()
+    from tpu_pathtracer.models import meshes
+    from tpu_pathtracer.models.mesh import build_bvh
+
+    grey, red, blue = 3, 1, 2
+    walls = [
+        (*meshes.quad([-50, 0, 80], [50, 0, 80], [50, 0, -80],
+                      [-50, 0, -80]), grey),             # floor (+y)
+        (*meshes.quad([-50, 80, -80], [50, 80, -80], [50, 80, 80],
+                      [-50, 80, 80]), grey),             # ceiling (-y)
+        (*meshes.quad([50, 0, -80], [50, 80, -80], [-50, 80, -80],
+                      [-50, 0, -80]), grey),             # back (+z)
+        (*meshes.quad([-50, 0, 80], [-50, 80, 80], [50, 80, 80],
+                      [50, 0, 80]), grey),               # front (-z)
+        (*meshes.quad([-50, 0, -80], [-50, 80, -80], [-50, 80, 80],
+                      [-50, 0, 80]), red),               # left (+x)
+        (*meshes.quad([50, 0, 80], [50, 80, 80], [50, 80, -80],
+                      [50, 0, -80]), blue),              # right (-x)
+    ]
+    v, f, uv, m = meshes.merge(*walls)
+    mesh = build_bvh(v, f, uv, m)
+
+    spheres = [
+        sphere([-25, 16.5, -50], 16.5, 4),   # mirror ball
+        sphere([25, 16.5, -25], 16.5, 5),    # glass ball
+        sphere([0, 86, -20], 10.0, 1, 0),    # emitter pokes below ceiling
+    ]
+    lights = [area_light(2, [60.0, 60.0, 60.0])]
+    cam = dict(eye=[0, 45, 79.0], look_at=[0, 35, 0], up=[0, 1, 0], fov=60.0)
+    return make_scene(spheres, reference_materials(), lights, mesh=mesh), cam
 
 
 def cornell_boxes() -> tuple[Scene, dict]:
