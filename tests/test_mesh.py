@@ -215,6 +215,64 @@ def test_packet_kernel_matches_xla_traversal():
     assert np.all(np.asarray(ph.t)[~hit] > 1e29)
 
 
+def test_vmem_node_fallback_matches_smem_layout(monkeypatch):
+    """Forcing the 2-D VMEM node-table layout (flat_nodes=False — the
+    path taken past SMEM_NODE_BUDGET) reproduces the SMEM layout's hits
+    exactly. Keeps the fallback branch exercised: every real fixture is
+    small enough to take the SMEM path (ADVICE r3)."""
+    from tpu_pathtracer.ops.pallas import mesh_kernel as mk
+
+    mesh, packed = _packet_fixture()
+    rng = np.random.default_rng(3)
+    n = 400
+    o = jnp.asarray(
+        rng.uniform(-14, 14, (n, 3)).astype(np.float32) + [0, 25, 0]
+    )
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 1] -= 2.0
+    d = jnp.asarray(d)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    smem = mk.intersect_mesh_packet(packed, o, d, tmin=1e-3, interpret=True)
+    monkeypatch.setattr(mk, "SMEM_NODE_BUDGET", 0)
+    vmem = mk.intersect_mesh_packet(packed, o, d, tmin=1e-3, interpret=True)
+    assert np.asarray(smem.t)[np.asarray(smem.t) < 1e29].size > 150
+    np.testing.assert_array_equal(np.asarray(vmem.t), np.asarray(smem.t))
+    np.testing.assert_array_equal(np.asarray(vmem.tri), np.asarray(smem.tri))
+    np.testing.assert_array_equal(np.asarray(vmem.mat), np.asarray(smem.mat))
+    np.testing.assert_array_equal(np.asarray(vmem.n), np.asarray(smem.n))
+
+
+def test_any_hit_attrs_zero_sorted_and_unsorted():
+    """Any-hit mode returns zeroed tri/n/uv/mat in BOTH sort modes (only
+    t is meaningful) — sorted and unsorted calls must agree (ADVICE r3)."""
+    from tpu_pathtracer.ops.pallas.mesh_kernel import intersect_mesh_packet
+
+    mesh, packed = _packet_fixture()
+    rng = np.random.default_rng(5)
+    n = 300
+    o = jnp.asarray(
+        rng.uniform(-14, 14, (n, 3)).astype(np.float32) + [0, 25, 0]
+    )
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 1] -= 2.0
+    d = jnp.asarray(d)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t_init = jnp.full((n,), 60.0, jnp.float32)
+
+    hs = intersect_mesh_packet(packed, o, d, tmin=1e-3, t_init=t_init,
+                               any_hit=True, sort=True, interpret=True)
+    hu = intersect_mesh_packet(packed, o, d, tmin=1e-3, t_init=t_init,
+                               any_hit=True, sort=False, interpret=True)
+    assert (np.asarray(hs.t) == 0.0).sum() > 50  # fixture occludes
+    np.testing.assert_array_equal(np.asarray(hs.t), np.asarray(hu.t))
+    for h in (hs, hu):
+        assert np.all(np.asarray(h.tri) == 0)
+        assert np.all(np.asarray(h.mat) == 0)
+        assert np.all(np.asarray(h.n) == 0.0)
+        assert np.all(np.asarray(h.uv) == 0.0)
+
+
 def test_packet_kernel_t_init_semantics():
     """t_init prunes: hits at or beyond it are not reported (the caller's
     sphere-pass distance), dead lanes (t_init <= 0) never hit, and a

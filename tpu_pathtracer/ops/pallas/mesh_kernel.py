@@ -32,13 +32,19 @@ On-chip layout (the whole acceleration structure is chip-resident):
   - nodes: split into a flat (M*6,) f32 AABB table and a flat (M*3,) i32
     [skip start count] table, both SMEM (1-D — SMEM pads 2-D rows to
     512 B) so the walk reads node fields as true scalar loads broadcast
-    into the vector AABB test; VMEM (lane-extract reads) past ~19k nodes;
-  - triangles: 8 slots of 16 floats per 128-lane row; leaf starts ALIGNED
-    to 8 at pack time so a leaf is a contiguous row block readable at a
-    scalar row offset with STATIC lane offsets.
+    into the vector AABB test. The SMEM layout is used up to
+    SMEM_NODE_BUDGET bytes of node tables (36 B/node -> ~19.4k nodes at
+    the default 700 kB, leaving ~300 kB of the ~1 MiB SMEM for the
+    scalar-prefetch flags, grid scalars and Mosaic's own use); past the
+    budget the tables fall back to 2-D VMEM with per-element [n, k]
+    extracts — slower per step but unbounded.
+  - triangles: 8 slots of 16 floats per 128-lane row (VMEM); leaf starts
+    ALIGNED to 8 at pack time so a leaf is a contiguous row block
+    readable at a scalar row offset with STATIC lane offsets.
 
-Capacity on a ~13MB-usable v5e VMEM: ~100k triangles + ~10k nodes
-(leaf_size 32), i.e. exactly the config-4 scale.
+Capacity on a ~13MB-usable v5e VMEM: ~100k triangles of tri_rows plus
+the node tables (config-4 scale is ~100k tris / ~9k nodes at
+leaf_size 32 — SMEM-resident nodes with room to spare).
 """
 from __future__ import annotations
 
@@ -57,6 +63,15 @@ from tpu_pathtracer.models.mesh import MeshData
 LANES = 128
 BIG = 1e30
 TRIS_PER_ROW = 8
+
+# Byte budget for the flat SMEM node tables (6 f32 + 3 i32 = 36 B/node).
+# TPU SMEM is ~1 MiB on current generations (v4/v5e/v5p); 700 kB leaves
+# explicit headroom for the scalar-prefetch flags, grid scalars and the
+# compiler's own SMEM use. Chips with a different SMEM size (or a future
+# Mosaic that reserves more) can lower/raise this module knob; meshes
+# beyond it transparently use the 2-D VMEM node layout instead
+# (exercised by tests/test_mesh.py::test_vmem_node_fallback).
+SMEM_NODE_BUDGET = 700_000
 TRI_STRIDE = 16  # floats per triangle slot
 
 
@@ -398,20 +413,21 @@ def _packet_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("rows_total", "tile_rows", "n_nodes",
-                              "leaf_rows", "tmin", "any_hit", "interpret"),
+                              "leaf_rows", "tmin", "any_hit", "flat_nodes",
+                              "interpret"),
 )
 def _run_packet(flags, nodes, tri_rows, o_planes, d_planes, t0_plane,
                 rows_total, tile_rows, n_nodes, leaf_rows, tmin,
-                any_hit=False, interpret=False):
+                any_hit=False, flat_nodes=True, interpret=False):
     lane_spec = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0))
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i, *_: (0, 0),
                                     memory_space=pltpu.VMEM)
     # Node fields are read as per-step scalars; SMEM makes those true
-    # scalar loads. SMEM (~1 MB) pads every 2-D ROW to 512 B, so the
-    # tables are FLAT 1-D arrays (M*6 f32 + M*3 i32 = 36 B/node -> ~25k
-    # nodes fit with room to spare); beyond that fall back to VMEM
+    # scalar loads. SMEM pads every 2-D ROW to 512 B, so the tables are
+    # FLAT 1-D arrays, capped at SMEM_NODE_BUDGET bytes (36 B/node ->
+    # ~19.4k nodes at the default budget; see the module constant for
+    # the headroom rationale). Beyond that fall back to 2-D VMEM
     # (scalar reads become vector-lane extracts — slower per step).
-    flat_nodes = 36 * n_nodes <= 700_000
     if flat_nodes:
         # flat 1-D SMEM tables (scalar-indexed at [n*6+k] / [n*3+k])
         node = lambda arr: pl.BlockSpec(arr.shape, lambda i, *_: (0,),
@@ -576,23 +592,36 @@ def intersect_mesh_packet(
     t, idx, nx, ny, nz, tu, tv, mat = _run_packet(
         flags, packed.nodes, packed.tri_rows, o_planes, d_planes, t0_plane,
         rows_total, tile_rows, packed.num_nodes, leaf_rows, tmin,
-        any_hit=any_hit, interpret=interpret,
+        any_hit=any_hit,
+        flat_nodes=36 * packed.num_nodes <= SMEM_NODE_BUDGET,
+        interpret=interpret,
     )
 
     def unplane(a):
         return a.reshape(-1)[:n]
 
     t = unplane(t)
-    idx = unplane(idx)
     # "found a mesh hit" == strictly closer than the start distance
     found = t < jnp.where(t_init > 0.0, t_init, 0.0)
+    t_out = jnp.where(found, t, jnp.where(t_init > 0.0, t_init, BIG))
+    if any_hit:
+        # Occlusion mode resolves NO attributes in-kernel; return explicit
+        # zeros (not the kernel's idx output, which can alias triangle 0
+        # on occluded lanes) so sorted and unsorted any-hit calls agree —
+        # only t is meaningful in any-hit mode.
+        z = jnp.zeros((n,), jnp.int32)
+        return PacketHit(
+            t=t_out, tri=z, n=jnp.zeros((n, 3), jnp.float32),
+            uv=jnp.zeros((n, 2), jnp.float32), mat=z,
+        )
+    idx = unplane(idx)
     tri = jnp.where(
         found,
         jnp.take(packed.remap, jnp.clip(idx, 0, packed.remap.shape[0] - 1)),
         0,
     )
     return PacketHit(
-        t=jnp.where(found, t, jnp.where(t_init > 0.0, t_init, BIG)),
+        t=t_out,
         tri=tri,
         n=jnp.stack([unplane(nx), unplane(ny), unplane(nz)], axis=-1),
         uv=jnp.stack([unplane(tu), unplane(tv)], axis=-1),
