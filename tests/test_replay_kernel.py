@@ -325,11 +325,13 @@ def test_sharded_kernel_grads_bit_identical(cornell):
     mesh = make_mesh(jax.devices(), n_tile=4, n_sample=2)
     loss_s, grads_s = kernel_loss_and_grads(
         params, scene, camera, target, seed, 0, spp=SPP, max_bounces=MB,
-        rr_start=RRS, tile_rows=TR, mesh=mesh, interpret=True,
+        rr_start=RRS, tile_rows=TR, mesh=mesh, engine="sample",
+        interpret=True,
     )
     loss_1, grads_1 = kernel_loss_and_grads(
         params, scene, camera, target, seed, 0, spp=SPP, max_bounces=MB,
-        rr_start=RRS, tile_rows=TR, mesh=None, interpret=True,
+        rr_start=RRS, tile_rows=TR, mesh=None, engine="sample",
+        interpret=True,
     )
     np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-6)
     for k in grads_1:
@@ -375,7 +377,7 @@ def test_kernel_train_step_reduces_loss(cornell):
     state = init_state(perturbed, optimizer)
     step = make_kernel_train_step(
         perturbed, camera, config, optimizer, fixed_iteration=0,
-        tile_rows=TR, interpret=True,
+        tile_rows=TR, engine="sample", interpret=True,
     )
     _, loss0 = step(state, target.reshape(-1, 3), seed)
     for _ in range(4):

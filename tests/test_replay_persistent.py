@@ -502,6 +502,77 @@ def test_sample_guarantee_and_loss_consistency(cornell):
     np.testing.assert_allclose(float(loss), loss_direct, rtol=1e-5)
 
 
+def test_sharded_pkernel_grads_match_single(cornell):
+    """kernel_loss_and_grads with the production 'persistent' engine under
+    a (tile, sample) mesh == single-device: global-tile RNG addressing
+    makes the sharded regeneration walk trace the SAME paths, and the
+    psum of per-tile partials is the same sum (VERDICT r3 item 1)."""
+    from tpu_pathtracer.diff.inverse import kernel_loss_and_grads, params_of
+    from tpu_pathtracer.parallel.mesh import make_mesh
+
+    scene, camera = cornell
+    seed = jnp.asarray([6, 3], jnp.int32)
+    rng = np.random.default_rng(9)
+    target = jnp.asarray(rng.random((H, W, 3), np.float32))
+    params = params_of(scene)
+
+    # budget kept small: the interpreted kernel's jaxpr scales with it and
+    # the sharded compile+run was the suite's slowest item at budget=10
+    budget = 4
+    mesh = make_mesh(jax.devices(), n_tile=4, n_sample=2)
+    loss_s, grads_s = kernel_loss_and_grads(
+        params, scene, camera, target, seed, 0, spp=SPP, max_bounces=MB,
+        rr_start=RRS, tile_rows=TR, budget=budget, mesh=mesh,
+        engine="persistent", interpret=True,
+    )
+    loss_1, grads_1 = kernel_loss_and_grads(
+        params, scene, camera, target, seed, 0, spp=SPP, max_bounces=MB,
+        rr_start=RRS, tile_rows=TR, budget=budget, mesh=None,
+        engine="persistent", interpret=True,
+    )
+    np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-6)
+    assert np.abs(np.asarray(grads_1["mat_color"])).max() > 0
+    for k in grads_1:
+        np.testing.assert_allclose(
+            np.asarray(grads_s[k]), np.asarray(grads_1[k]),
+            rtol=1e-5, atol=1e-8,
+        )
+
+
+def test_pkernel_train_step_reduces_loss(cornell):
+    """The production trainer (make_kernel_train_step, default engine ==
+    'persistent') reduces the loss on a perturbed albedo — the trainer a
+    user gets IS the fastest measured gradient walk."""
+    import optax
+
+    from tpu_pathtracer.diff.inverse import (
+        init_state, make_kernel_train_step, render_target_kernel,
+    )
+    from tpu_pathtracer.models.integrator import RenderConfig
+
+    scene, camera = cornell
+    config = RenderConfig(spp=SPP, max_bounces=MB)
+    seed = jnp.asarray([13, 0], jnp.int32)
+    target = render_target_kernel(
+        scene, camera, seed, config, iteration=0, tile_rows=TR,
+        budget=BUDGET, interpret=True,
+    )
+
+    optimizer = optax.adam(5e-2)
+    perturbed = scene.replace(
+        mat_color=jnp.clip(scene.mat_color * 0.6 + 0.1, 0.0, 1.0)
+    )
+    state = init_state(perturbed, optimizer)
+    step = make_kernel_train_step(
+        perturbed, camera, config, optimizer, fixed_iteration=0,
+        tile_rows=TR, budget=BUDGET, interpret=True,
+    )
+    _, loss0 = step(state, target, seed)
+    for _ in range(4):
+        state, loss = step(state, target, seed)
+    assert float(loss) < float(loss0)
+
+
 def test_grad_descent_recovers_albedo(cornell):
     """A few persistent-kernel gradient steps move a perturbed wall
     albedo toward the target image's (end-to-end trainer smoke)."""

@@ -201,18 +201,12 @@ def cmd_invert(args: argparse.Namespace) -> int:
 
     estimator = args.estimator
     on_tpu = jax.devices()[0].platform == "axon"
-    # the fused kernel's lane layout requires spp | 128
-    kernel_ok = args.spp > 0 and 128 % args.spp == 0
     if estimator == "auto":
-        # fused value-and-grad kernel on TPU (one walk per step, ~38x the
-        # replay path); sharded path-replay elsewhere (the kernel would
-        # need the slow interpreter on CPU) or when spp doesn't fit the
-        # kernel's lane layout
-        estimator = "kernel" if (on_tpu and kernel_ok) else "replay"
-    elif estimator == "kernel" and not kernel_ok:
-        print(f"error: --estimator kernel requires --spp dividing 128 "
-              f"(got {args.spp})")
-        return 2
+        # persistent fused value-and-grad kernel on TPU (loss + grads in
+        # ONE regeneration walk per step, ~60x the replay path); sharded
+        # path-replay elsewhere (the kernel would need the slow
+        # interpreter on CPU)
+        estimator = "kernel" if on_tpu else "replay"
 
     params0 = dict(inverse.params_of(scene))
     params0["mat_color"] = scene.mat_color.at[3].set(

@@ -172,71 +172,139 @@ def kernel_loss_and_grads(
     spp: int,
     max_bounces: int = 10,
     rr_start: int = 3,
-    tile_rows: int = 16,
+    tile_rows: int | None = None,
     use_nee: bool = False,
     strat_k: int = 2,
     mesh: jax.sharding.Mesh | None = None,
+    engine: str = "persistent",
+    budget: int | None = None,
     interpret: bool = False,
 ) -> tuple[Array, dict]:
-    """MSE loss + gradients via the fused value-and-grad Pallas kernel
-    (ops/pallas/replay_kernel.py): loss AND both parameter gradients in
-    ONE path walk — no separate backward pass at all.
+    """MSE loss + gradients via a fused value-and-grad Pallas kernel:
+    loss AND both parameter gradients in ONE path walk — no separate
+    backward pass at all.
+
+    engine selects the fused kernel:
+      - "persistent" (default, the production path): path-regeneration
+        occupancy, lane == pixel, dead lanes start their pixel's next
+        sample (ops/pallas/replay_persistent.py) — the fastest measured
+        gradient walk (BASELINE.md fwd+bwd row).
+      - "sample": the per-sample fused kernel, lane == (pixel, sample)
+        (ops/pallas/replay_kernel.py) — kept as the cross-check oracle.
 
     With a mesh, lane rows shard over the flattened (tile, sample) axes
     exactly like the forward persistent kernel (global-tile RNG
     addressing, parallel/persistent_sharded.py), and the per-tile
-    gradient partials psum across shards — sharded gradients are
-    bit-identical to single-device (sums of the same per-tile partials).
+    gradient partials psum across shards — sharded gradients equal
+    single-device (sums of the same per-tile partials).
     """
-    from tpu_pathtracer.ops.pallas.replay_kernel import (
-        broadcast_pixels_to_lanes, lanes_layout, replay_call,
-    )
     from tpu_pathtracer.ops.pallas.trace_kernel import pack_camera
 
     scene_p = apply_params(scene, params)
     w, h = camera.width, camera.height
     n_dev = mesh.devices.size if mesh is not None else 1
-    rows_total, _ = lanes_layout(w, h, spp, tile_rows, tiles_multiple=n_dev)
-    aux = broadcast_pixels_to_lanes(target, spp, rows_total)
     cam_packed = pack_camera(camera)
-    call = partial(
-        replay_call,
-        spp=spp, width=w, height=h, max_bounces=max_bounces,
-        rr_start=rr_start, tile_rows=tile_rows, use_nee=use_nee,
-        use_dof=camera.use_dof, strat_k=strat_k, mode="mse",
-        interpret=interpret,
-    )
     it = jnp.int32(iteration)
+    axes = (TILE_AXIS, SAMPLE_AXIS)
 
-    if mesh is None:
-        _, loss, gA_raw, gI_raw, _ = call(scene_p, cam_packed, seed, it, aux)
-    else:
-        tiles_local = (rows_total // tile_rows) // n_dev
-        axes = (TILE_AXIS, SAMPLE_AXIS)
-
-        @partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=(P(), P(), P(), P(axes)),
-            out_specs=(P(), P(), P()),
-            check_vma=False,
+    if engine == "persistent":
+        from tpu_pathtracer.ops.pallas.replay_persistent import (
+            default_budget, persistent_replay_call, pixel_lanes_layout,
+            target_to_lanes,
         )
-        def sharded(scene_rep, cp_rep, seed_rep, aux_block):
-            shard = (
-                jax.lax.axis_index(TILE_AXIS) * mesh.shape[SAMPLE_AXIS]
-                + jax.lax.axis_index(SAMPLE_AXIS)
-            )
-            _, l_p, gA_p, gI_p, _ = call(
-                scene_rep, cp_rep, seed_rep, it, aux_block,
-                tile_offset=shard * tiles_local,
-            )
-            return (
-                jax.lax.psum(l_p, axes),
-                jax.lax.psum(gA_p, axes),
-                jax.lax.psum(gI_p, axes),
-            )
 
-        loss, gA_raw, gI_raw = sharded(scene_p, cam_packed, seed, aux)
+        tr = 32 if tile_rows is None else tile_rows
+        rows_total, _ = pixel_lanes_layout(w, h, tr, tiles_multiple=n_dev)
+        aux = target_to_lanes(target, rows_total)
+        call = partial(
+            persistent_replay_call,
+            spp=spp,
+            budget=default_budget(spp, max_bounces) if budget is None
+            else budget,
+            width=w, height=h, max_bounces=max_bounces,
+            rr_start=rr_start, tile_rows=tr, use_nee=use_nee,
+            use_dof=camera.use_dof, strat_k=strat_k, interpret=interpret,
+        )
+
+        if mesh is None:
+            _, _, loss, gA_raw, gI_raw, _ = call(
+                scene_p, cam_packed, seed, it, aux
+            )
+        else:
+            tiles_local = (rows_total // tr) // n_dev
+
+            @partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(axes)),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+            def psharded(scene_rep, cp_rep, seed_rep, aux_block):
+                shard = (
+                    jax.lax.axis_index(TILE_AXIS) * mesh.shape[SAMPLE_AXIS]
+                    + jax.lax.axis_index(SAMPLE_AXIS)
+                )
+                _, _, l_p, gA_p, gI_p, _ = call(
+                    scene_rep, cp_rep, seed_rep, it, aux_block,
+                    tile_offset=shard * tiles_local,
+                )
+                return (
+                    jax.lax.psum(l_p, axes),
+                    jax.lax.psum(gA_p, axes),
+                    jax.lax.psum(gI_p, axes),
+                )
+
+            loss, gA_raw, gI_raw = psharded(scene_p, cam_packed, seed, aux)
+
+    elif engine == "sample":
+        from tpu_pathtracer.ops.pallas.replay_kernel import (
+            broadcast_pixels_to_lanes, lanes_layout, replay_call,
+        )
+
+        tr = 16 if tile_rows is None else tile_rows
+        rows_total, _ = lanes_layout(w, h, spp, tr, tiles_multiple=n_dev)
+        aux = broadcast_pixels_to_lanes(target, spp, rows_total)
+        call = partial(
+            replay_call,
+            spp=spp, width=w, height=h, max_bounces=max_bounces,
+            rr_start=rr_start, tile_rows=tr, use_nee=use_nee,
+            use_dof=camera.use_dof, strat_k=strat_k, mode="mse",
+            interpret=interpret,
+        )
+
+        if mesh is None:
+            _, loss, gA_raw, gI_raw, _ = call(
+                scene_p, cam_packed, seed, it, aux
+            )
+        else:
+            tiles_local = (rows_total // tr) // n_dev
+
+            @partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(axes)),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+            def sharded(scene_rep, cp_rep, seed_rep, aux_block):
+                shard = (
+                    jax.lax.axis_index(TILE_AXIS) * mesh.shape[SAMPLE_AXIS]
+                    + jax.lax.axis_index(SAMPLE_AXIS)
+                )
+                _, l_p, gA_p, gI_p, _ = call(
+                    scene_rep, cp_rep, seed_rep, it, aux_block,
+                    tile_offset=shard * tiles_local,
+                )
+                return (
+                    jax.lax.psum(l_p, axes),
+                    jax.lax.psum(gA_p, axes),
+                    jax.lax.psum(gI_p, axes),
+                )
+
+            loss, gA_raw, gI_raw = sharded(scene_p, cam_packed, seed, aux)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
 
     gI_full = jnp.zeros_like(scene_p.light_intensity)
     gI_full = gI_full.at[: gI_raw.shape[0]].set(gI_raw)
@@ -257,12 +325,16 @@ def make_kernel_train_step(
     *,
     mesh: jax.sharding.Mesh | None = None,
     fixed_iteration: int | None = None,
-    tile_rows: int = 16,
+    tile_rows: int | None = None,
+    engine: str = "persistent",
+    budget: int | None = None,
     interpret: bool = False,
 ):
     """Fused-kernel analogue of make_train_step: each step is ONE kernel
     walk (loss + grads), then the adam update — inverse rendering at
-    forward-render speed. Seeds derive from the step counter (or
+    forward-render speed. The default engine is the persistent
+    path-regeneration fused kernel (the fastest measured gradient walk);
+    see kernel_loss_and_grads. Seeds derive from the step counter (or
     fixed_iteration for same-seed optimization)."""
 
     @jax.jit
@@ -274,7 +346,8 @@ def make_kernel_train_step(
             target.reshape(camera.height, camera.width, 3), seed, it,
             spp=config.spp, max_bounces=config.max_bounces,
             rr_start=config.rr_start, use_nee=config.use_nee,
-            tile_rows=tile_rows, mesh=mesh, interpret=interpret,
+            tile_rows=tile_rows, mesh=mesh, engine=engine, budget=budget,
+            interpret=interpret,
         )
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
@@ -310,28 +383,54 @@ def render_target(
 
 def render_target_kernel(
     scene: Scene, camera: Camera, seed: Array, config: RenderConfig,
-    *, iteration: int = 0, tile_rows: int = 16, interpret: bool = False,
+    *, iteration: int = 0, tile_rows: int | None = None,
+    engine: str = "persistent", budget: int | None = None,
+    interpret: bool = False,
 ) -> Array:
     """(H*W, 3) target rendered by the fused kernel's OWN forward walk.
 
     For same-seed inverse rendering with make_kernel_train_step the
-    target must come from the kernel's estimator (its RNG streams and
-    polar warpings differ from the XLA path's), rendered at the same
-    fixed iteration — then the loss is exactly zero at the true
-    parameters."""
-    from tpu_pathtracer.ops.pallas.replay_kernel import (
-        lanes_layout, replay_call,
-    )
+    target must come from the SAME engine's estimator (RNG streams,
+    regeneration schedule and polar warpings differ between the engines
+    and the XLA path), rendered at the same fixed iteration — then the
+    loss is exactly zero at the true parameters."""
     from tpu_pathtracer.ops.pallas.trace_kernel import pack_camera
 
     w, h = camera.width, camera.height
-    rows_total, n_lanes = lanes_layout(w, h, config.spp, tile_rows)
+    if engine == "persistent":
+        from tpu_pathtracer.ops.pallas.replay_persistent import (
+            default_budget, persistent_replay_call, pixel_lanes_layout,
+            target_to_lanes,
+        )
+
+        tr = 32 if tile_rows is None else tile_rows
+        rows_total, n_lanes = pixel_lanes_layout(w, h, tr)
+        aux0 = jnp.zeros((rows_total, 128, 3), jnp.float32)
+        L_lanes, ns, *_ = persistent_replay_call(
+            scene, pack_camera(camera), seed, jnp.int32(iteration), aux0,
+            spp=config.spp,
+            budget=default_budget(config.spp, config.max_bounces)
+            if budget is None else budget,
+            width=w, height=h, max_bounces=config.max_bounces,
+            rr_start=config.rr_start, use_nee=config.use_nee,
+            use_dof=camera.use_dof, tile_rows=tr, interpret=interpret,
+        )
+        lanes = L_lanes.reshape(-1, 3)[:n_lanes]
+        n = jnp.maximum(ns.reshape(-1)[:n_lanes], 1)[:, None]
+        return lanes / n
+
+    from tpu_pathtracer.ops.pallas.replay_kernel import (
+        lanes_layout, replay_call,
+    )
+
+    tr = 16 if tile_rows is None else tile_rows
+    rows_total, n_lanes = lanes_layout(w, h, config.spp, tr)
     aux0 = jnp.zeros((rows_total, 128, 3), jnp.float32)
     L_lanes, *_ = replay_call(
         scene, pack_camera(camera), seed, jnp.int32(iteration), aux0,
         spp=config.spp, width=w, height=h, max_bounces=config.max_bounces,
         rr_start=config.rr_start, use_nee=config.use_nee,
-        use_dof=camera.use_dof, tile_rows=tile_rows, mode="vjp",
+        use_dof=camera.use_dof, tile_rows=tr, mode="vjp",
         interpret=interpret,
     )
     lanes = L_lanes.reshape(-1, 3)[:n_lanes]
