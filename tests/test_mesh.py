@@ -273,6 +273,85 @@ def test_any_hit_attrs_zero_sorted_and_unsorted():
         assert np.all(np.asarray(h.uv) == 0.0)
 
 
+def _rand_rays(seed, n):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(
+        rng.uniform(-14, 14, (n, 3)).astype(np.float32) + [0, 25, 0]
+    )
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 1] -= 1.0
+    d = jnp.asarray(d)
+    return o, d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def test_two_pass_binned_matches_single_pass():
+    """The binned two-pass traversal (coarse bin_rays + cell-sorted fine
+    walk + provable-miss culling) returns the same hits as the classic
+    octant-sorted walk — closest-hit AND any-hit (VERDICT r3 item 2)."""
+    from tpu_pathtracer.ops.pallas.mesh_kernel import (
+        bin_rays, intersect_mesh_packet, pack_mesh,
+    )
+
+    mesh, packed = _packet_fixture()
+    coarse = pack_mesh(mesh, collapse_leaf=128, nodes_only=True)
+    assert coarse.num_nodes > 3  # fixture actually has coarse structure
+    o, d = _rand_rays(11, 600)
+
+    base = intersect_mesh_packet(packed, o, d, tmin=1e-3, interpret=True)
+    two = intersect_mesh_packet(packed, o, d, tmin=1e-3, coarse=coarse,
+                                interpret=True)
+    hit = np.asarray(base.t) < 1e29
+    assert hit.sum() > 200 and hit.sum() < 600  # hits AND misses exercised
+    np.testing.assert_allclose(np.asarray(two.t), np.asarray(base.t),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(two.tri), np.asarray(base.tri))
+    np.testing.assert_allclose(np.asarray(two.n), np.asarray(base.n),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(two.mat), np.asarray(base.mat))
+
+    # binning soundness: a lane with NO coarse cell must have no mesh hit
+    cell = np.asarray(bin_rays(coarse, o, d,
+                               jnp.full((600,), 1e30, jnp.float32),
+                               tmin=1e-3, interpret=True))
+    assert (cell == -1).sum() > 0
+    assert not hit[cell == -1].any()
+
+    # any-hit occlusion agreement on finite segments
+    t_init = jnp.full((600,), 40.0, jnp.float32)
+    ab = intersect_mesh_packet(packed, o, d, tmin=1e-3, t_init=t_init,
+                               any_hit=True, interpret=True)
+    at = intersect_mesh_packet(packed, o, d, tmin=1e-3, t_init=t_init,
+                               any_hit=True, coarse=coarse, interpret=True)
+    occ_b = np.asarray(ab.t) < 40.0
+    occ_t = np.asarray(at.t) < 40.0
+    assert occ_b.sum() > 50
+    np.testing.assert_array_equal(occ_t, occ_b)
+
+
+def test_two_pass_render_matches_single_pass_render():
+    """End-to-end: a cornell_boxes render through the two-pass traversal
+    equals the single-pass packet render (the sort/binning is invisible
+    to the estimate — same lanes, same streams)."""
+    import tpu_pathtracer.ops.pallas.mesh_kernel as mk
+
+    scene, cs = sc.cornell_boxes()
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 24, 18,
+                         cs["fov"])
+    cfg = RenderConfig(spp=2, max_bounces=3, use_nee=True)
+    orig = mk.intersect_mesh_packet
+    mk.intersect_mesh_packet = (
+        lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    )
+    try:
+        s1 = sc.with_packet_mesh(scene, two_pass=False)
+        s2 = sc.with_packet_mesh(scene, two_pass=True, coarse_leaf=8)
+        img1 = np.array(render_image(s1, cam, jax.random.key(7), cfg))
+        img2 = np.array(render_image(s2, cam, jax.random.key(7), cfg))
+    finally:
+        mk.intersect_mesh_packet = orig
+    np.testing.assert_allclose(img2, img1, rtol=1e-5, atol=1e-6)
+
+
 def test_packet_kernel_t_init_semantics():
     """t_init prunes: hits at or beyond it are not reported (the caller's
     sphere-pass distance), dead lanes (t_init <= 0) never hit, and a

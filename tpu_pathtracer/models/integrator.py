@@ -100,7 +100,12 @@ def trace(
     # (utils/rng.py) makes the permutation invisible to the estimate: the
     # carried lane ids keep every lane on its own stream, and the image is
     # unscattered once at the end — bit-identical to the unsorted render.
-    bounce_sort = scene.mesh_packed is not None
+    # With a COARSE tree (two-pass binned traversal) each wave instead
+    # sorts in-call on its own nearest-cell binning — a wave-specific key
+    # the bounce-level permute cannot provide — so the carry permute is
+    # skipped entirely.
+    bounce_sort = (scene.mesh_packed is not None
+                   and scene.mesh_packed_coarse is None)
 
     L0 = jnp.zeros_like(o)
     T0 = jnp.ones_like(o)

@@ -79,6 +79,15 @@ class Scene:
                                                  default=())
     # ((light_type, prim_index_or_-1), ...) per light — static structure
     light_structure: tuple = flax.struct.field(pytree_node=False, default=())
+    # Static per-MATERIAL BSDF types (mat_type values) — kernels tracing
+    # mesh geometry specialize their material dispatch on these the same
+    # way prim_mtypes specializes the sphere dispatch.
+    mat_types: tuple = flax.struct.field(pytree_node=False, default=())
+    # Static per-light TRI_LIGHT structure: emissive material id (-1 for
+    # non-tri lights) and true triangle count (0 for non-tri lights).
+    light_mats: tuple = flax.struct.field(pytree_node=False, default=())
+    tri_light_counts: tuple = flax.struct.field(pytree_node=False,
+                                                default=())
 
     # Triangle mesh + BVH (None = sphere-only scene, the reference's world).
     # See models/mesh.py; fills primitive.h:26 / scene.h:33 TODOs.
@@ -92,6 +101,10 @@ class Scene:
     # the XLA gather traversal on coherent rays; forward-only — leave None
     # for differentiable-mesh or CPU runs).
     mesh_packed: Any = None
+    # Coarse nodes-only tree for the two-pass binned traversal (bin_rays
+    # + cell-sorted fine walk — the incoherent-wave path). None = classic
+    # octant-sorted single-pass packets.
+    mesh_packed_coarse: Any = None
 
     # Triangle-emitter area lights (TRI_LIGHT): per-light sampling tables,
     # built host-side from the post-BVH-reorder mesh (make_scene). None for
@@ -107,13 +120,25 @@ class Scene:
     has_tri_lights: bool = flax.struct.field(pytree_node=False, default=False)
 
 
-def with_packet_mesh(scene: "Scene") -> "Scene":
-    """Enable the TPU packet-traversal backend for this scene's mesh."""
+def with_packet_mesh(scene: "Scene", two_pass: bool = True,
+                     coarse_leaf: int = 1024) -> "Scene":
+    """Enable the TPU packet-traversal backend for this scene's mesh.
+
+    two_pass additionally builds the coarse nodes-only tree that drives
+    the binned two-pass traversal (nearest-cell binning + cell-sorted
+    fine walk + provable-miss culling) — the incoherent-bounce-wave
+    operating point (benchmarks/sweep_two_pass.py). two_pass=False keeps
+    the classic single-pass octant-sorted packets (the A/B baseline)."""
     if scene.mesh is None:
         return scene
     from tpu_pathtracer.ops.pallas.mesh_kernel import pack_mesh
 
-    return scene.replace(mesh_packed=pack_mesh(scene.mesh))
+    coarse = (
+        pack_mesh(scene.mesh, collapse_leaf=coarse_leaf, nodes_only=True)
+        if two_pass else None
+    )
+    return scene.replace(mesh_packed=pack_mesh(scene.mesh),
+                         mesh_packed_coarse=coarse)
 
 
 @flax.struct.dataclass
@@ -323,6 +348,16 @@ def make_scene(
         prim_material_ids=tuple(int(s["material"]) for s in spheres),
         light_structure=tuple(
             (int(l["type"]), int(l.get("prim", -1))) for l in lights
+        ),
+        mat_types=tuple(int(m["type"]) for m in materials),
+        light_mats=tuple(
+            int(l["material"]) if l["type"] == TRI_LIGHT else -1
+            for l in lights
+        ),
+        tri_light_counts=tuple(
+            int(np.sum(np.asarray(mesh.material_id) == l["material"]))
+            if l["type"] == TRI_LIGHT else 0
+            for l in lights
         ),
         mesh=mesh,
         textures=textures,

@@ -117,13 +117,17 @@ def intersect_p(
             # Walk from t_init = segment length in any-hit mode: the
             # FIRST found occluder kills the lane (t=0), no attributes
             # are resolved, and lanes the sphere pass already occluded
-            # (or the caller masked) start dead and do no work.
+            # (or the caller masked) start dead and do no work. A coarse
+            # tree upgrades the in-call sort to the two-pass binned
+            # traversal (cell-coherent tiles + provable-miss culling).
             t_init = jnp.where(occluded, 0.0, tmax_arr)
             if mask is not None:
                 t_init = jnp.where(mask, t_init, 0.0)
+            coarse = scene.mesh_packed_coarse
             ph = intersect_mesh_packet(
                 scene.mesh_packed, o, d, tmin=tmin, t_init=t_init,
-                sort=not presorted, any_hit=True,
+                sort=(not presorted) or coarse is not None,
+                any_hit=True, coarse=coarse,
             )
             occluded = occluded | (ph.t < tmax_arr)
             if mask is not None:
@@ -222,12 +226,15 @@ def _merge_mesh_hit(scene, o, d, tmin, alive,
         # The kernel walk starts from the sphere-pass t (prunes subtrees
         # beyond it) and skips caller-dead lanes outright; it resolves
         # normal / uv / material at the hit site — no jnp.take gathers.
+        # A coarse tree upgrades the in-call sort to the two-pass binned
+        # traversal (cell-coherent tiles + provable-miss culling).
         t_init = jnp.where(hit, t, BIG)
         if alive is not None:
             t_init = jnp.where(alive, t_init, 0.0)
+        coarse = scene.mesh_packed_coarse
         ph = intersect_mesh_packet(
             scene.mesh_packed, o, d, tmin=tmin, t_init=t_init,
-            sort=not presorted,
+            sort=(not presorted) or coarse is not None, coarse=coarse,
         )
         closer = ph.t < t
         tn = ph.n

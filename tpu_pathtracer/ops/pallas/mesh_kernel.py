@@ -141,7 +141,8 @@ def _collapse_subtrees(node_start, node_count, node_skip, node_min,
     return new_start, new_count, new_skip, new_min, new_max
 
 
-def pack_mesh(mesh: MeshData, collapse_leaf: int = 64) -> PackedMesh:
+def pack_mesh(mesh: MeshData, collapse_leaf: int = 64,
+              nodes_only: bool = False) -> PackedMesh:
     """Re-pack a built MeshData for packet traversal (leaf-aligned tris).
 
     Slot layout (16 f32): v0 xyz | e1 xyz | e2 xyz | material_id |
@@ -154,6 +155,11 @@ def pack_mesh(mesh: MeshData, collapse_leaf: int = 64) -> PackedMesh:
     on incoherent config-4 waves: 16-row tiles amortize the scalar node
     walk best (82 ms vs 110 ms at 8 rows), and 64-tri leaves halve the
     node table again with no wave-time cost.
+
+    nodes_only=True skips the triangle re-pack entirely (empty tri_rows /
+    remap) — for COARSE trees consumed by the box-only binning pass
+    (bin_rays), which never touches triangles. Use a large collapse_leaf
+    (~1024) so the coarse table is a few hundred nodes.
     """
     node_start = np.asarray(mesh.node_start)
     node_count = np.asarray(mesh.node_count)
@@ -165,6 +171,21 @@ def pack_mesh(mesh: MeshData, collapse_leaf: int = 64) -> PackedMesh:
          node_max) = _collapse_subtrees(
             node_start, node_count, node_skip, node_min, node_max,
             collapse_leaf,
+        )
+    if nodes_only:
+        M = len(node_start)
+        nodes = np.zeros((M, 16), np.float32)
+        nodes[:, 0:3] = node_min
+        nodes[:, 3:6] = node_max
+        nodes[:, 6] = node_skip
+        nodes[:, 7] = node_start  # raw tri index; unused by the bin pass
+        nodes[:, 8] = node_count
+        return PackedMesh(
+            nodes=jnp.asarray(nodes),
+            tri_rows=jnp.zeros((1, LANES), jnp.float32),
+            remap=jnp.full((1,), -1, jnp.int32),
+            leaf_size=int(node_count.max()) if M else 0,
+            num_nodes=M,
         )
     v0 = np.asarray(mesh.v0)
     e1 = np.asarray(mesh.e1)
@@ -471,6 +492,150 @@ def _run_packet(flags, nodes, tri_rows, o_planes, d_planes, t0_plane,
     )(flags, box, meta, tri_rows, *o_planes, *d_planes, t0_plane)
 
 
+def _bin_kernel(
+    flags_ref,  # scalar prefetch: (n_tiles,) int32 — any live lane?
+    box_ref,  # coarse node AABBs (flat SMEM or 2-D VMEM, as _packet_kernel)
+    meta_ref,  # [skip start count] per coarse node
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (rows, 128)
+    t0_ref,  # (rows, 128) per-lane pruning distance; <= 0 marks dead
+    cell_ref,  # OUT (rows, 128) int32: nearest coarse-leaf node id, -1 none
+    tn_ref,  # OUT (rows, 128) f32: its clamped entry distance (scratch)
+    *,
+    rows: int,
+    n_nodes: int,
+    tmin: float,
+    flat_nodes: bool,
+):
+    """Box-only binning walk: per lane, the coarse leaf whose box the ray
+    enters NEAREST (clamped entry distance, ties first-in-DFS-order wins),
+    among leaves entered strictly before t0. Lanes entering no coarse leaf
+    provably have no mesh hit before t0 — the caller culls them from the
+    fine walk entirely. Prunes per lane on min(t0, best-so-far): a box
+    entered beyond the current best leaf entry cannot contain a nearer
+    leaf (child entry >= parent entry)."""
+    tile = pl.program_id(0)
+    ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
+    dx, dy, dz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
+    t0 = t0_ref[:, :]
+    live = t0 > 0.0
+
+    def safe_inv(a):
+        s = jnp.where(jnp.abs(a) > 1e-12, a, jnp.where(a >= 0, 1e-12, -1e-12))
+        return 1.0 / s
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    cell_ref[:, :] = jnp.full((rows, LANES), -1, jnp.int32)
+    tn_ref[:, :] = jnp.full((rows, LANES), BIG, jnp.float32)
+
+    def body(n):
+        best = tn_ref[:, :]
+        if flat_nodes:
+            b6 = n * 6
+            bx = lambda k: box_ref[b6 + k]
+            m3 = n * 3
+            mt = lambda k: meta_ref[m3 + k]
+        else:
+            bx = lambda k: box_ref[n, k]
+            mt = lambda k: meta_ref[n, k]
+        tx0 = (bx(0) - ox) * ix
+        tx1 = (bx(3) - ox) * ix
+        ty0 = (bx(1) - oy) * iy
+        ty1 = (bx(4) - oy) * iy
+        tz0 = (bx(2) - oz) * iz
+        tz1 = (bx(5) - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        t_cur = jnp.minimum(t0, best)
+        box_hit = live & (tn <= tf) & (tf > tmin) & (tn < t_cur)
+        any_hit = jnp.sum(box_hit.astype(jnp.int32)) > 0
+        skip = mt(0)
+        count = mt(2)
+        is_leaf = count > 0
+
+        @pl.when(any_hit & is_leaf)
+        def _leaf():
+            tn_eff = jnp.maximum(tn, 0.0)
+            better = box_hit & (tn_eff < tn_ref[:, :])
+            tn_ref[:, :] = jnp.where(better, tn_eff, tn_ref[:, :])
+            cell_ref[:, :] = jnp.where(better, n, cell_ref[:, :])
+
+        descend = any_hit & ~is_leaf
+        return jnp.where(descend, n + 1, skip)
+
+    @pl.when(flags_ref[tile] != 0)
+    def _walk():
+        lax.while_loop(lambda n: n < n_nodes, body, jnp.int32(0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_rows", "tmin", "interpret"),
+)
+def bin_rays(
+    coarse: PackedMesh, o: Array, d: Array, t_init: Array,
+    tmin: float, tile_rows: int = 16, interpret: bool = False,
+) -> Array:
+    """(N,) int32 nearest coarse-cell id per ray (-1: provably no mesh hit
+    before t_init / dead lane). The binning input of the two-pass
+    traversal (see intersect_mesh_packet's `coarse`)."""
+    n = o.shape[0]
+    n_nodes = coarse.num_nodes
+    tile_lanes = tile_rows * LANES
+    n_tiles = -(-n // tile_lanes)
+    rows_total = n_tiles * tile_rows
+    pad = rows_total * LANES - n
+
+    def plane(a, fill=0.0):
+        return jnp.pad(a, (0, pad), constant_values=fill).reshape(
+            rows_total, LANES
+        )
+
+    o_planes = tuple(plane(o[:, i]) for i in range(3))
+    d_planes = tuple(plane(d[:, i]) for i in range(3))
+    t0_plane = plane(t_init, fill=0.0)
+    flags = jnp.any(
+        (t0_plane > 0.0).reshape(n_tiles, tile_rows * LANES), axis=1
+    ).astype(jnp.int32)
+
+    flat_nodes = 36 * n_nodes <= SMEM_NODE_BUDGET
+    if flat_nodes:
+        node = lambda arr: pl.BlockSpec(arr.shape, lambda i, *_: (0,),
+                                        memory_space=pltpu.SMEM)
+        box = coarse.nodes[:, 0:6].reshape(-1)
+        meta = coarse.nodes[:, 6:9].astype(jnp.int32).reshape(-1)
+    else:
+        node = lambda arr: pl.BlockSpec(arr.shape, lambda i, *_: (0, 0),
+                                        memory_space=pltpu.VMEM)
+        box = coarse.nodes[:, 0:6]
+        meta = coarse.nodes[:, 6:9].astype(jnp.int32)
+    kernel = functools.partial(
+        _bin_kernel, rows=tile_rows, n_nodes=n_nodes, tmin=tmin,
+        flat_nodes=flat_nodes,
+    )
+    lane_spec = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[node(box), node(meta)] + [lane_spec] * 7,
+        out_specs=[lane_spec] * 2,
+    )
+    cell, _tn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(flags, box, meta, *o_planes, *d_planes, t0_plane)
+    return cell.reshape(-1)[:n]
+
+
 @flax.struct.dataclass
 class PacketHit:
     """Closest-hit record with kernel-resolved shading attributes."""
@@ -482,6 +647,14 @@ class PacketHit:
     mat: Array  # (N,) material id
 
 
+def _octant(d: Array) -> Array:
+    return (
+        (d[:, 0] < 0).astype(jnp.int32) * 4
+        + (d[:, 1] < 0).astype(jnp.int32) * 2
+        + (d[:, 2] < 0).astype(jnp.int32)
+    )
+
+
 def packet_sort_key(o: Array, d: Array, alive: Array | None = None) -> Array:
     """Ray-coherence sort key: direction octant (major) + coarse origin
     cell (minor); dead lanes sort to the tail so their tiles skip the
@@ -489,11 +662,7 @@ def packet_sort_key(o: Array, d: Array, alive: Array | None = None) -> Array:
     run both the shadow and the next closest-hit wave pre-sorted —
     the per-call argsort+permute pipeline is ~7-9 ms per wave at config-4
     scale, about half the frame (benchmarks/profile_mesh_pieces.py)."""
-    oct_ = (
-        (d[:, 0] < 0).astype(jnp.int32) * 4
-        + (d[:, 1] < 0).astype(jnp.int32) * 2
-        + (d[:, 2] < 0).astype(jnp.int32)
-    )
+    oct_ = _octant(d)
     lo = jnp.min(o, axis=0)
     hi = jnp.max(o, axis=0)
     q = jnp.clip(
@@ -512,6 +681,7 @@ def intersect_mesh_packet(
     tile_rows: int = 16, sort: bool = True,
     t_init: Array | None = None,
     any_hit: bool = False,
+    coarse: PackedMesh | None = None,
     interpret: bool = False,
 ) -> PacketHit:
     """Packet-traversal closest hit with in-kernel attribute resolution.
@@ -531,12 +701,31 @@ def intersect_mesh_packet(
     sort=True groups live rays by direction octant + coarse origin cell
     (dead lanes go LAST, so their tiles skip the whole walk) before
     tiling; results are un-permuted on return.
+
+    coarse (with sort=True) switches to the TWO-PASS binned traversal —
+    the structural answer to the incoherent-wave wall (the octant sort's
+    tiles still drag every lane through the union of all lanes' leaves):
+    a box-only walk of the ~few-hundred-node coarse tree (bin_rays) maps
+    each ray to its NEAREST coarse cell; rays then sort by (cell, octant)
+    so a fine-walk tile's lanes genuinely share subtrees, and rays that
+    enter NO coarse cell before t_init — provably mesh-miss lanes, e.g.
+    sky-facing bounce rays — are culled from the fine walk outright
+    (their tiles skip everything).
     """
     n = o.shape[0]
     if t_init is None:
         t_init = jnp.full((n,), BIG, jnp.float32)
     if sort:
-        key = packet_sort_key(o, d, alive=t_init > 0.0)
+        live = t_init > 0.0
+        if coarse is not None:
+            cell = bin_rays(coarse, o, d, t_init, tmin,
+                            tile_rows=tile_rows, interpret=interpret)
+            has = (cell >= 0) & live
+            key = jnp.where(has, cell * 8 + _octant(d), jnp.int32(1 << 26))
+            t_eff = jnp.where(has, t_init, 0.0)
+        else:
+            key = packet_sort_key(o, d, alive=live)
+            t_eff = t_init
         perm = jnp.argsort(key)
         # inverse permutation by scatter — ~20% cheaper than a second
         # argsort (benchmarks/profile_mesh_pieces.py)
@@ -546,7 +735,7 @@ def intersect_mesh_packet(
         # One packed (N, 7) row gather instead of 3 separate takes (the
         # same trick as the integrator's bounce-level carry permute).
         packed_rays = jnp.take(
-            jnp.concatenate([o, d, t_init[:, None]], axis=1), perm, axis=0
+            jnp.concatenate([o, d, t_eff[:, None]], axis=1), perm, axis=0
         )
         hit = intersect_mesh_packet(
             packed, packed_rays[:, 0:3], packed_rays[:, 3:6],
@@ -554,18 +743,23 @@ def intersect_mesh_packet(
             t_init=packed_rays[:, 6], any_hit=any_hit,
             interpret=interpret,
         )
+        t_u = jnp.take(hit.t, inv)
+        if coarse is not None:
+            # culled live lanes have no mesh hit before t_init: restore
+            # the caller's "no closer hit" convention (inner saw t0=0)
+            t_u = jnp.where(live & ~has, t_init, t_u)
         if any_hit:
             # occlusion queries only consume t; tri/n/uv/mat are zeros by
             # construction — skip their un-permutes entirely
             return PacketHit(
-                t=jnp.take(hit.t, inv),
+                t=t_u,
                 tri=jnp.zeros((n,), jnp.int32),
                 n=jnp.zeros((n, 3), jnp.float32),
                 uv=jnp.zeros((n, 2), jnp.float32),
                 mat=jnp.zeros((n,), jnp.int32),
             )
         return PacketHit(
-            t=jnp.take(hit.t, inv),
+            t=t_u,
             tri=jnp.take(hit.tri, inv),
             n=jnp.take(hit.n, inv, axis=0),
             uv=jnp.take(hit.uv, inv, axis=0),
