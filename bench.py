@@ -65,7 +65,12 @@ TILE_ROWS = 32  # best measured tile size on v5e
 BUDGET = 16  # best measured (robust sweep, round 3)
 
 
-def main() -> None:
+def measure(use_nee: bool) -> float:
+    """Sustained rays/sec (slope protocol) for one transport mode.
+
+    With use_nee, shadow segments count as traced rays (the kernel's
+    live counter includes every needed visibility segment) — the NEE
+    number is directly comparable to the brute-force one."""
     from functools import partial
 
     scene, cs = sc.cornell_spheres()
@@ -84,6 +89,7 @@ def main() -> None:
                 scene, cp, jnp.stack([salt, i]), st,
                 budget=BUDGET, width=WIDTH, height=HEIGHT,
                 max_bounces=MAX_BOUNCES, tile_rows=TILE_ROWS,
+                use_nee=use_nee,
             )
             return (st, rays + nr), None
 
@@ -113,7 +119,12 @@ def main() -> None:
         t1s.append(t1)
         tns.append(tn)
     elapsed = max(min(tns) - min(t1s), 1e-9)
-    rays_per_sec = (rn - r1) / elapsed
+    return (rn - r1) / elapsed
+
+
+def main() -> None:
+    rays_per_sec = measure(use_nee=False)
+    nee_rays_per_sec = measure(use_nee=True)
     print(
         json.dumps(
             {
@@ -121,6 +132,8 @@ def main() -> None:
                 "value": rays_per_sec,
                 "unit": "rays/s",
                 "vs_baseline": rays_per_sec / TARGET_RAYS_PER_SEC,
+                "nee_rays_per_sec": nee_rays_per_sec,
+                "nee_vs_baseline": nee_rays_per_sec / TARGET_RAYS_PER_SEC,
             }
         )
     )

