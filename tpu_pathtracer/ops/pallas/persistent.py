@@ -743,17 +743,24 @@ def _persistent_kernel(
                 for pp in range(n_prims):
                     if pp == skip_pp:
                         continue
+                    # Segment-ball distance form of the any-hit test: the
+                    # segment [tmin, smax] hits the sphere iff its nearest
+                    # point to the center lies within r. Exact for solid
+                    # occluders and ~6 VPU ops cheaper per prim than the
+                    # root-select form (no sqrt, no branch) — the shadow
+                    # sweep runs every NEE iteration for every prim.
                     sx2 = prims_ref[pp, 0] - hx
                     sy2 = prims_ref[pp, 1] - hy
                     sz2 = prims_ref[pp, 2] - hz
                     rb = _dot3(sx2, sy2, sz2, wlx, wly, wlz)
-                    rdet = (
-                        rb * rb - _dot3(sx2, sy2, sz2, sx2, sy2, sz2)
-                        + prims_ref[pp, 3] * prims_ref[pp, 3]
+                    ts_ = jnp.clip(rb, tmin, smax)
+                    d2s = (
+                        _dot3(sx2, sy2, sz2, sx2, sy2, sz2)
+                        - ts_ * (2.0 * rb - ts_)
                     )
-                    rsq = jnp.sqrt(jnp.maximum(rdet, 0.0))
-                    rt = jnp.where(rb - rsq > tmin, rb - rsq, rb + rsq)
-                    occ = occ | ((rdet >= 0.0) & (rt > tmin) & (rt < smax))
+                    occ = occ | (
+                        d2s < prims_ref[pp, 3] * prims_ref[pp, 3]
+                    )
                 if mesh:
                     # mesh any-hit: first occluding triangle zeroes the
                     # lane's walk t; lanes already dead/occluded/invalid
