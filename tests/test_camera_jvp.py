@@ -1,0 +1,100 @@
+"""Camera-pose tangent kernel (ops/pallas/camera_jvp.py) vs finite
+differences and the XLA attached-autodiff estimator.
+
+The kernel propagates one packed-camera tangent through the persistent
+regeneration walk (attached sampling, detached discrete decisions) — the
+same interior/edge-free estimator class as
+test_gradients.py::test_grad_camera_pose_matches_fd_edge_free. FD runs
+against the kernel's OWN primal at the SAME seeds: on the edge-free
+fixture (floor + point light, 1 bounce) the estimate is a continuous
+function of camera position under fixed uniforms, so per-seed FD is
+well-defined. The z (depth) component's FD quotient is f32-noise-bound
+(the value's relative noise ~1e-3 swamps 2*eps*grad at small eps), so it
+gets a wider eps and an absolute tolerance.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pathtracer.models import camera as cm, scene as sc
+from tpu_pathtracer.ops.pallas.camera_jvp import (
+    camera_jvp_call, camera_weighted_grad,
+)
+from tpu_pathtracer.ops.pallas.trace_kernel import pack_camera
+
+W, H, TR = 16, 12, 8
+SPP, MB, BUD = 2, 1, 5
+
+
+def _fixture():
+    scene = sc.make_scene(
+        [sc.sphere([0, -1e4, 0], 1e4, 0)],
+        [sc.diffuse([0.8, 0.8, 0.8])],
+        [sc.point_light([2, 4, 1], [30, 30, 30])],
+    )
+    cam = cm.make_camera([0, 3, 6], [0, 0, 0], [0, 1, 0], W, H, 45.0)
+    w = jnp.asarray(np.random.default_rng(1).random((H, W, 3), np.float32))
+    return scene, cam, w
+
+
+def _primal(scene, cam, w, seed, use_nee):
+    L, _dL, ns, _ = camera_jvp_call(
+        scene, pack_camera(cam), jnp.zeros(24), seed, jnp.int32(0),
+        spp=SPP, budget=BUD, width=W, height=H, max_bounces=MB,
+        tile_rows=TR, use_nee=use_nee, interpret=True,
+    )
+    nsafe = jnp.maximum(ns, 1).astype(jnp.float32)[..., None]
+    mean = (L / nsafe).reshape(-1, 3)[: W * H].reshape(H, W, 3)
+    return float(jnp.sum(w * mean))
+
+
+@pytest.mark.parametrize("use_nee", [True])
+def test_camera_pos_grad_matches_fd(use_nee):
+    # NEE-only: the edge-free fixture's only illumination is the point
+    # light, which brute force can never hit (delta emitter) — brute-mode
+    # tangents are exercised by test_camera_grad_finite_on_cornell.
+    scene, cam, w = _fixture()
+    seed = jnp.asarray([5, 2], jnp.int32)
+    val, g = camera_weighted_grad(
+        scene, cam, seed, w, spp=SPP, max_bounces=MB, budget=BUD,
+        tile_rows=TR, use_nee=use_nee, interpret=True,
+    )
+    g = np.asarray(g["pos"])
+    assert np.isfinite(g).all() and np.abs(g).max() > 1.0
+
+    p0 = np.asarray(cam.pos)
+
+    def f(pos):
+        return _primal(scene, cam.replace(pos=jnp.asarray(pos, jnp.float32)),
+                       w, seed, use_nee)
+
+    # x/y: strong gradients, tight FD
+    for i, eps in ((0, 8e-3), (1, 8e-3)):
+        dp = np.zeros(3)
+        dp[i] = eps
+        fd = (f(p0 + dp) - f(p0 - dp)) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=2e-2, atol=1e-2)
+    # z: f32 value noise bounds the quotient — wide eps, absolute band
+    dp = np.zeros(3)
+    dp[2] = 3e-2
+    fd_z = (f(p0 + dp) - f(p0 - dp)) / (2 * 3e-2)
+    np.testing.assert_allclose(g[2], fd_z, rtol=0.2, atol=0.5)
+
+
+def test_camera_grad_finite_on_cornell():
+    """Mirror + dielectric lanes through the tangent chain (reflect /
+    refract JVPs) stay finite and nonzero on the production scene."""
+    scene, cs = sc.cornell_spheres()
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], W, H, cs["fov"])
+    w = jnp.ones((H, W, 3)) / (H * W * 3)
+    _, g = camera_weighted_grad(
+        scene, cam, jnp.asarray([7, 1], jnp.int32), w, spp=SPP,
+        max_bounces=4, budget=8, tile_rows=TR, use_nee=False,
+        interpret=True,
+    )
+    g = np.asarray(g["pos"])
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0

@@ -1,0 +1,718 @@
+"""Camera-pose tangent kernel: forward-mode JVP through the persistent
+regeneration walk.
+
+Closes the ~30x gradient-speed gap for camera parameters (VERDICT r3
+item 7): the material/intensity gradients ride the fused streaming
+adjoint at ~2 ms/grad, while camera-pose gradients only existed on the
+XLA attached-autodiff path at ~78 Mrays/s. This kernel propagates ONE
+tangent direction of the packed camera (d pack_camera / d theta, a
+24-float SMEM operand computed host-side by jax.jacfwd of pack_camera)
+through the SAME persistent path-regeneration schedule as the forward
+kernel (ops/pallas/persistent.py) and accumulates the per-pixel tangent
+radiance d(sum L)/d theta alongside the primal.
+
+Estimator (matches the validated XLA camera estimator,
+tests/test_gradients.py::test_grad_camera_pose_matches_fd_edge_free):
+  - ATTACHED sampling: the cosine-hemisphere draw is reparameterized
+    through the shading frame, so the sampled direction rotates with the
+    normal (d wi = d[ONB(n)] @ l with the local sample l detached); the
+    diffuse cos/pdf ratio is identically 1 in this frame (cos == l_z by
+    construction), so the diffuse throughput tangent is multiplicative.
+  - DETACHED discrete decisions: prim selection, one-sided/support
+    flags, occlusion, RR survival and the Fresnel coin are fixed; their
+    motion contributes edge terms this interior estimator intentionally
+    omits (the documented edge-free assumption; silhouette terms live in
+    diff/geometry.py for geometry parameters).
+  - Per-vertex geometry tangents follow the implicit function theorem on
+    the sphere constraint: dt = -(n.do + t n.dd)/(n.d), dp = do + d dt
+    + t dd, dn = dp / r.
+
+Scope: sphere scenes (the fixtures the estimator class is FD-validated
+on), brute-force or point-light NEE transport, no DOF. Mesh scenes,
+sphere-area-light NEE and DOF route to the XLA attached-autodiff path
+(diff/camera.py falls back automatically) — the estimator is identical,
+only slower.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_pathtracer.models.scene import SPECULAR, TRANSMISSIVE, EPSILON, Scene
+from tpu_pathtracer.ops.pallas.trace_kernel import (
+    LANES, BIG, INV_PI,
+    _dot3, _normalize3, _rand, _seed_streams,
+    pack_camera, pack_lights, pack_prims,
+)
+
+
+def _cjvp_kernel(
+    seed_ref,  # (4,) int32: [seed, salt, tile_offset, iteration]
+    prims_ref,  # (P, 12) f32 SMEM
+    cam_ref,  # (24,) f32 SMEM
+    dcam_ref,  # (24,) f32 SMEM — tangent of the packed camera
+    lights_ref,  # (L, 8) f32 SMEM
+    *refs,
+    rows: int,
+    budget: int,
+    spp: int,
+    n_prims: int,
+    emissive: tuple,
+    spec_prims: tuple,
+    trans_prims: tuple,
+    lights_static: tuple,
+    use_nee: bool,
+    strat_k: int,
+    width: int,
+    max_bounces: int,
+    rr_start: int,
+    tmin: float,
+    n_lanes: int,
+    external_rng: bool,
+):
+    rng_ref = refs[0] if external_rng else None
+    n_in = 1 if external_rng else 0
+    (lr_o, lg_o, lb_o, dlr_o, dlg_o, dlb_o, ns_o, nrays_o) = refs[n_in:]
+
+    tile = pl.program_id(0)
+    shape = (rows, LANES)
+    fzeros = jnp.zeros(shape, jnp.float32)
+
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        + (tile + seed_ref[2]) * (rows * LANES)
+    )
+    in_domain = lane < n_lanes
+    px = (lane % width).astype(jnp.float32)
+    py = (lane // width).astype(jnp.float32)
+
+    _seed_streams(seed_ref[0], seed_ref[3], tile + seed_ref[2], seed_ref[1],
+                  jnp.int32(1))
+
+    # primal accumulators + tangent accumulators (per pixel)
+    Lr = fzeros; Lg = fzeros; Lb = fzeros
+    dLr = fzeros; dLg = fzeros; dLb = fzeros
+    n_samp = jnp.zeros(shape, jnp.int32)
+    # in-flight path state
+    ox = fzeros; oy = fzeros; oz = fzeros
+    dx = fzeros; dy = fzeros; dz = fzeros + 1.0
+    tox = fzeros; toy = fzeros; toz = fzeros  # tangent of origin
+    tdx = fzeros; tdy = fzeros; tdz = fzeros  # tangent of direction
+    Tr = fzeros; Tg = fzeros; Tb = fzeros
+    tTr = fzeros; tTg = fzeros; tTb = fzeros
+    Cr = fzeros; Cg = fzeros; Cb = fzeros
+    tCr = fzeros; tCg = fzeros; tCb = fzeros
+    bounce = jnp.zeros(shape, jnp.int32)
+    alive = jnp.zeros(shape, jnp.bool_)
+    n_live = jnp.zeros((), jnp.int32)
+    kk = strat_k * strat_k
+    n_draw = 2 + 3 + (3 if use_nee else 0)
+
+    for it_i in range(budget):
+        if external_rng:
+            ub = rng_ref[it_i * n_draw * rows:(it_i + 1) * n_draw * rows, :]
+        else:
+            ub = _rand((n_draw * rows, LANES))
+        u_cam = ub[:rows]
+        v_cam = ub[rows:2 * rows]
+        u1 = ub[2 * rows:3 * rows]
+        u2 = ub[3 * rows:4 * rows]
+        u3 = ub[4 * rows:5 * rows]
+        if use_nee:
+            ul1 = ub[5 * rows:6 * rows]  # noqa: F841 (stream parity)
+            ul2 = ub[6 * rows:7 * rows]  # noqa: F841
+            usel = ub[7 * rows:8 * rows]
+
+        # ---- regenerate (with primary-ray tangents)
+        done = n_samp >= spp
+        regen = (~alive) & in_domain & ~done
+        if strat_k > 1:
+            cell = n_samp % kk
+            ccx = (cell % strat_k).astype(jnp.float32)
+            ccy = (cell // strat_k).astype(jnp.float32)
+            jx = (ccx + u_cam) * (1.0 / strat_k) - 0.5
+            jy = (ccy + v_cam) * (1.0 / strat_k) - 0.5
+        else:
+            jx = u_cam - 0.5
+            jy = v_cam - 0.5
+        sx = px + jx
+        sy = py + jy
+        gdx = cam_ref[0] - cam_ref[6] * sy + cam_ref[3] * sx
+        gdy = cam_ref[1] - cam_ref[7] * sy + cam_ref[4] * sx
+        gdz = cam_ref[2] - cam_ref[8] * sy + cam_ref[5] * sx
+        tgx = dcam_ref[0] - dcam_ref[6] * sy + dcam_ref[3] * sx
+        tgy = dcam_ref[1] - dcam_ref[7] * sy + dcam_ref[4] * sx
+        tgz = dcam_ref[2] - dcam_ref[8] * sy + dcam_ref[5] * sx
+        inv_g = jax.lax.rsqrt(
+            jnp.maximum(gdx * gdx + gdy * gdy + gdz * gdz, 1e-20)
+        )
+        ndx = gdx * inv_g; ndy = gdy * inv_g; ndz = gdz * inv_g
+        gdot = ndx * tgx + ndy * tgy + ndz * tgz
+        # d normalize(g) = (dg - n (n.dg)) / |g|
+        t_ndx = (tgx - ndx * gdot) * inv_g
+        t_ndy = (tgy - ndy * gdot) * inv_g
+        t_ndz = (tgz - ndz * gdot) * inv_g
+
+        ox = jnp.where(regen, fzeros + cam_ref[9], ox)
+        oy = jnp.where(regen, fzeros + cam_ref[10], oy)
+        oz = jnp.where(regen, fzeros + cam_ref[11], oz)
+        dx = jnp.where(regen, ndx, dx)
+        dy = jnp.where(regen, ndy, dy)
+        dz = jnp.where(regen, ndz, dz)
+        tox = jnp.where(regen, fzeros + dcam_ref[9], tox)
+        toy = jnp.where(regen, fzeros + dcam_ref[10], toy)
+        toz = jnp.where(regen, fzeros + dcam_ref[11], toz)
+        tdx = jnp.where(regen, t_ndx, tdx)
+        tdy = jnp.where(regen, t_ndy, tdy)
+        tdz = jnp.where(regen, t_ndz, tdz)
+        one = jnp.where(regen, 1.0, 0.0)
+        Tr = jnp.where(regen, 1.0, Tr); Tg = jnp.where(regen, 1.0, Tg)
+        Tb = jnp.where(regen, 1.0, Tb)
+        tTr = tTr * (1.0 - one); tTg = tTg * (1.0 - one)
+        tTb = tTb * (1.0 - one)
+        Cr = Cr * (1.0 - one); Cg = Cg * (1.0 - one); Cb = Cb * (1.0 - one)
+        tCr = tCr * (1.0 - one); tCg = tCg * (1.0 - one)
+        tCb = tCb * (1.0 - one)
+        bounce = jnp.where(regen, 0, bounce)
+        alive = alive | regen
+        n_live = n_live + jnp.sum(alive.astype(jnp.int32))
+
+        # ---- intersect (primal, persistent.py min-reduction form)
+        best_t = fzeros + BIG
+        ts = []
+        for p in range(n_prims):
+            opx = prims_ref[p, 0] - ox
+            opy = prims_ref[p, 1] - oy
+            opz = prims_ref[p, 2] - oz
+            r = prims_ref[p, 3]
+            b = _dot3(opx, opy, opz, dx, dy, dz)
+            det = b * b - _dot3(opx, opy, opz, opx, opy, opz) + r * r
+            sq = jnp.sqrt(jnp.maximum(det, 0.0))
+            t0 = b - sq
+            t = jnp.where(t0 > tmin, t0, b + sq)
+            tv = jnp.where((det >= 0.0) & (t > tmin), t, BIG)
+            ts.append(tv)
+            best_t = jnp.minimum(best_t, tv)
+        hit = best_t < (0.5 * BIG)
+        act = alive & hit
+        actf = act.astype(jnp.float32)
+        t_hit = jnp.where(act, best_t, 0.0)  # parked lanes at origin
+        hx = ox + dx * t_hit
+        hy = oy + dy * t_hit
+        hz = oz + dz * t_hit
+        cx = fzeros; cy = fzeros; cz = fzeros; inv_r = fzeros
+        ar = fzeros; ag = fzeros; ab = fzeros
+        is_ps = []
+        for p in range(n_prims):
+            is_p = ts[p] == best_t
+            is_ps.append(is_p)
+            cx = jnp.where(is_p, prims_ref[p, 0], cx)
+            cy = jnp.where(is_p, prims_ref[p, 1], cy)
+            cz = jnp.where(is_p, prims_ref[p, 2], cz)
+            inv_r = jnp.where(is_p, 1.0 / prims_ref[p, 3], inv_r)
+            ar = jnp.where(is_p, prims_ref[p, 4], ar)
+            ag = jnp.where(is_p, prims_ref[p, 5], ag)
+            ab = jnp.where(is_p, prims_ref[p, 6], ab)
+        nx = (hx - cx) * inv_r
+        ny = (hy - cy) * inv_r
+        nz = (hz - cz) * inv_r
+        coef = fzeros
+        for p in (*spec_prims, *trans_prims):
+            coef = jnp.where(is_ps[p], prims_ref[p, 7], coef)
+        er = fzeros; eg = fzeros; eb = fzeros
+        for p in emissive:
+            is_p = is_ps[p]
+            er = jnp.where(is_p, prims_ref[p, 9], er)
+            eg = jnp.where(is_p, prims_ref[p, 10], eg)
+            eb = jnp.where(is_p, prims_ref[p, 11], eb)
+        is_s = jnp.zeros(shape, jnp.bool_)
+        for p in spec_prims:
+            is_s = is_s | is_ps[p]
+        is_t = jnp.zeros(shape, jnp.bool_)
+        for p in trans_prims:
+            is_t = is_t | is_ps[p]
+
+        # ---- geometry tangents (IFT on the winner's sphere constraint)
+        nd = _dot3(nx, ny, nz, dx, dy, dz)
+        n_do = _dot3(nx, ny, nz, tox, toy, toz)
+        n_dd = _dot3(nx, ny, nz, tdx, tdy, tdz)
+        dt = -(n_do + t_hit * n_dd) / jnp.where(
+            jnp.abs(nd) > 1e-6, nd, jnp.where(nd >= 0, 1e-6, -1e-6)
+        )
+        dt = dt * actf
+        dpx = (tox + dx * dt + tdx * t_hit) * actf
+        dpy = (toy + dy * dt + tdy * t_hit) * actf
+        dpz = (toz + dz * dt + tdz * t_hit) * actf
+        dnx = dpx * inv_r
+        dny = dpy * inv_r
+        dnz = dpz * inv_r
+
+        wox, woy, woz = dx, dy, dz
+        twx, twy, twz = tdx, tdy, tdz  # tangent of wo
+
+        # ---- emitter-hit (brute take; MIS weight for NEE is a detached
+        # sampling quantity — this kernel's NEE supports point lights,
+        # which are delta and never hit, so w_emit == 1 throughout)
+        one_sided = _dot3(nx, ny, nz, -wox, -woy, -woz) > 0.0
+        take = (act & one_sided).astype(jnp.float32)
+        Cr = Cr + Tr * er * take
+        Cg = Cg + Tg * eg * take
+        Cb = Cb + Tb * eb * take
+        tCr = tCr + tTr * er * take
+        tCg = tCg + tTg * eg * take
+        tCb = tCb + tTb * eb * take
+
+        # ---- NEE, point lights only (scene.h:153-158), with tangents
+        is_d = ~(is_s | is_t) if (spec_prims or trans_prims) else None
+        if use_nee:
+            n_lights_s = len(lights_static)
+            for li, (ltype, lprim) in enumerate(lights_static):
+                assert ltype == 0, "camera-jvp kernel: point-light NEE only"
+                lo = lights_ref[li, 6]
+                sel = lights_ref[li, 7]
+                if li == n_lights_s - 1:
+                    m_l = usel >= lo
+                else:
+                    m_l = (usel >= lo) & (usel < lo + sel)
+                wrx = lights_ref[li, 0] - hx
+                wry = lights_ref[li, 1] - hy
+                wrz = lights_ref[li, 2] - hz
+                d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
+                inv_dl = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
+                dist_l = d2l * inv_dl
+                wlx = wrx * inv_dl; wly = wry * inv_dl; wlz = wrz * inv_dl
+                inv_d2 = inv_dl * inv_dl
+                # tangents: d(wr) = -dp; d(d2l) = 2 wr.dwr
+                dd2l = -2.0 * _dot3(wrx, wry, wrz, dpx, dpy, dpz)
+                dinv_d2 = -inv_d2 * inv_d2 * dd2l
+                # d wl = (dwr - wl (wl.dwr)) * inv_dl
+                wl_dwr = -_dot3(wlx, wly, wlz, dpx, dpy, dpz)
+                dwlx = (-dpx - wlx * wl_dwr) * inv_dl
+                dwly = (-dpy - wly * wl_dwr) * inv_dl
+                dwlz = (-dpz - wlz * wl_dwr) * inv_dl
+                valid = dist_l > tmin
+                smax = dist_l * (1.0 - 1e-3) - tmin
+                occ = jnp.zeros(shape, jnp.bool_)
+                for pp in range(n_prims):
+                    sx2 = prims_ref[pp, 0] - hx
+                    sy2 = prims_ref[pp, 1] - hy
+                    sz2 = prims_ref[pp, 2] - hz
+                    rb = _dot3(sx2, sy2, sz2, wlx, wly, wlz)
+                    ts_ = jnp.clip(rb, tmin, smax)
+                    d2s = (
+                        _dot3(sx2, sy2, sz2, sx2, sy2, sz2)
+                        - ts_ * (2.0 * rb - ts_)
+                    )
+                    occ = occ | (d2s < prims_ref[pp, 3] * prims_ref[pp, 3])
+                cos_l = _dot3(wlx, wly, wlz, nx, ny, nz)
+                dcos_l = (
+                    _dot3(dwlx, dwly, dwlz, nx, ny, nz)
+                    + _dot3(wlx, wly, wlz, dnx, dny, dnz)
+                )
+                support = (cos_l > 0.0) & (
+                    _dot3(wox, woy, woz, wlx, wly, wlz) < 0.0
+                )
+                if spec_prims or trans_prims:
+                    support = support & is_d
+                gate = (act & m_l & valid & support).astype(jnp.float32)
+                n_live = n_live + jnp.sum(
+                    (gate > 0).astype(jnp.int32)
+                )
+                gate = gate * (~occ).astype(jnp.float32)
+                inv_sel = 1.0 / jnp.maximum(sel, 1e-20)
+                # contribution = T * (a/pi) * I*inv_d2 * cos_l * gate/sel
+                s_r = gate * cos_l * inv_sel
+                ds_r = gate * dcos_l * inv_sel
+                ir_l = lights_ref[li, 3]
+                ig_l = lights_ref[li, 4]
+                ib_l = lights_ref[li, 5]
+                fr_d = ar * INV_PI; fg_d = ag * INV_PI; fb_d = ab * INV_PI
+                Cr = Cr + Tr * fr_d * ir_l * inv_d2 * s_r
+                Cg = Cg + Tg * fg_d * ig_l * inv_d2 * s_r
+                Cb = Cb + Tb * fb_d * ib_l * inv_d2 * s_r
+                tCr = tCr + fr_d * ir_l * (
+                    tTr * inv_d2 * s_r + Tr * dinv_d2 * s_r
+                    + Tr * inv_d2 * ds_r
+                )
+                tCg = tCg + fg_d * ig_l * (
+                    tTg * inv_d2 * s_r + Tg * dinv_d2 * s_r
+                    + Tg * inv_d2 * ds_r
+                )
+                tCb = tCb + fb_d * ib_l * (
+                    tTb * inv_d2 * s_r + Tb * dinv_d2 * s_r
+                    + Tb * inv_d2 * ds_r
+                )
+
+        # ---- attached diffuse bounce: wi = ONB(n) @ l, l detached
+        r_d = jnp.sqrt(u1)
+        th = (2.0 * math.pi) * u2
+        ldx = r_d * jnp.cos(th)
+        ldy = r_d * jnp.sin(th)
+        ldz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+        use_x = jnp.abs(nx) > jnp.abs(nz)
+        gux = jnp.where(use_x, -ny, fzeros)
+        guy = jnp.where(use_x, nx, -nz)
+        guz = jnp.where(use_x, fzeros, ny)
+        dgux = jnp.where(use_x, -dny, fzeros)
+        dguy = jnp.where(use_x, dnx, -dnz)
+        dguz = jnp.where(use_x, fzeros, dny)
+        inv_u = jax.lax.rsqrt(
+            jnp.maximum(gux * gux + guy * guy + guz * guz, 1e-20)
+        )
+        ux = gux * inv_u; uy = guy * inv_u; uz = guz * inv_u
+        u_dg = ux * dgux + uy * dguy + uz * dguz
+        dux = (dgux - ux * u_dg) * inv_u
+        duy = (dguy - uy * u_dg) * inv_u
+        duz = (dguz - uz * u_dg) * inv_u
+        vx = ny * uz - nz * uy
+        vy = nz * ux - nx * uz
+        vz = nx * uy - ny * ux
+        dvx = dny * uz + ny * duz - dnz * uy - nz * duy
+        dvy = dnz * ux + nz * dux - dnx * uz - nx * duz
+        dvz = dnx * uy + nx * duy - dny * ux - ny * dux
+        wdx = ux * ldx + vx * ldy + nx * ldz
+        wdy = uy * ldx + vy * ldy + ny * ldz
+        wdz = uz * ldx + vz * ldy + nz * ldz
+        twdx = dux * ldx + dvx * ldy + dnx * ldz
+        twdy = duy * ldx + dvy * ldy + dny * ldz
+        twdz = duz * ldx + dvz * ldy + dnz * ldz
+        pdf_d = jnp.where(
+            _dot3(wox, woy, woz, wdx, wdy, wdz) < 0.0, ldz * INV_PI, 0.0
+        )
+
+        won = _dot3(wox, woy, woz, nx, ny, nz)
+        if spec_prims or trans_prims:
+            dwon = (
+                _dot3(twx, twy, twz, nx, ny, nz)
+                + _dot3(wox, woy, woz, dnx, dny, dnz)
+            )
+            wsx = wox - 2.0 * won * nx
+            wsy = woy - 2.0 * won * ny
+            wsz = woz - 2.0 * won * nz
+            twsx = twx - 2.0 * (dwon * nx + won * dnx)
+            twsy = twy - 2.0 * (dwon * ny + won * dny)
+            twsz = twz - 2.0 * (dwon * nz + won * dnz)
+
+        if trans_prims:
+            entering = won < 0.0
+            ior = jnp.maximum(coef, 1.0)
+            n1 = jnp.where(entering, 1.0, ior)
+            n2 = jnp.where(entering, ior, 1.0)
+            sgn = jnp.where(entering, 1.0, -1.0)
+            nnx = nx * sgn; nny = ny * sgn; nnz = nz * sgn
+            dnnx = dnx * sgn; dnny = dny * sgn; dnnz = dnz * sgn
+            cos_i = -(wox * nnx + woy * nny + woz * nnz)
+            dcos_i = -(
+                twx * nnx + wox * dnnx + twy * nny + woy * dnny
+                + twz * nnz + woz * dnnz
+            )
+            eta = n1 / n2
+            sin2t = eta * eta * (1.0 - cos_i * cos_i)
+            dsin2t = eta * eta * (-2.0 * cos_i * dcos_i)
+            cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2t, 1e-12))
+            dcos_t = -0.5 * dsin2t / cos_t
+            r_orth = (n1 * cos_i - n2 * cos_t) / (n1 * cos_i + n2 * cos_t)
+            r_par = (n2 * cos_i - n1 * cos_t) / (n2 * cos_i + n1 * cos_t)
+            refl = jnp.where(sin2t > 1.0, 1.0,
+                             0.5 * (r_orth * r_orth + r_par * r_par))
+            do_reflect = u1 < refl  # detached coin
+            fac = eta * (-cos_i) + cos_t
+            dfac = eta * (-dcos_i) + dcos_t
+            txx = wox * eta - fac * nnx
+            txy = woy * eta - fac * nny
+            txz = woz * eta - fac * nnz
+            dtxx = twx * eta - dfac * nnx - fac * dnnx
+            dtxy = twy * eta - dfac * nny - fac * dnny
+            dtxz = twz * eta - dfac * nnz - fac * dnnz
+            wtx = jnp.where(do_reflect, wsx, txx)
+            wty = jnp.where(do_reflect, wsy, txy)
+            wtz = jnp.where(do_reflect, wsz, txz)
+            twtx = jnp.where(do_reflect, twsx, dtxx)
+            twty = jnp.where(do_reflect, twsy, dtxy)
+            twtz = jnp.where(do_reflect, twsz, dtxz)
+
+        wix, wiy, wiz = wdx, wdy, wdz
+        twix, twiy, twiz = twdx, twdy, twdz
+        fr = ar * INV_PI; fg = ag * INV_PI; fb = ab * INV_PI
+        pdf = pdf_d
+        if spec_prims:
+            wix = jnp.where(is_s, wsx, wix)
+            wiy = jnp.where(is_s, wsy, wiy)
+            wiz = jnp.where(is_s, wsz, wiz)
+            twix = jnp.where(is_s, twsx, twix)
+            twiy = jnp.where(is_s, twsy, twiy)
+            twiz = jnp.where(is_s, twsz, twiz)
+            fr = jnp.where(is_s, coef * ar, fr)
+            fg = jnp.where(is_s, coef * ag, fg)
+            fb = jnp.where(is_s, coef * ab, fb)
+        if trans_prims:
+            wix = jnp.where(is_t, wtx, wix)
+            wiy = jnp.where(is_t, wty, wiy)
+            wiz = jnp.where(is_t, wtz, wiz)
+            twix = jnp.where(is_t, twtx, twix)
+            twiy = jnp.where(is_t, twty, twiy)
+            twiz = jnp.where(is_t, twtz, twiz)
+            fr = jnp.where(is_t, ar, fr)
+            fg = jnp.where(is_t, ag, fg)
+            fb = jnp.where(is_t, ab, fb)
+        if spec_prims or trans_prims:
+            pdf = jnp.where(is_d, pdf_d, 1.0)
+        f_black = (fr <= 0.0) & (fg <= 0.0) & (fb <= 0.0)
+        contrib_ok = ~f_black & (pdf > 0.0)
+
+        # throughput update: diffuse weight = pi*f = albedo (tangent-free
+        # in the attached frame, cos == l_z); delta lobes weight = f*cos
+        # with cos attached
+        if spec_prims or trans_prims:
+            cos_wi = jnp.abs(_dot3(wix, wiy, wiz, nx, ny, nz))
+            sign_c = jnp.sign(_dot3(wix, wiy, wiz, nx, ny, nz))
+            dcos_wi = sign_c * (
+                _dot3(twix, twiy, twiz, nx, ny, nz)
+                + _dot3(wix, wiy, wiz, dnx, dny, dnz)
+            )
+            wgt = jnp.where(is_d, math.pi, cos_wi)
+            dwgt = jnp.where(is_d, 0.0, dcos_wi)
+        else:
+            wgt = fzeros + math.pi
+            dwgt = fzeros
+        step_ok = act & contrib_ok
+        okf = step_ok.astype(jnp.float32)
+        tTr = jnp.where(step_ok, tTr * fr * wgt + Tr * fr * dwgt, tTr)
+        tTg = jnp.where(step_ok, tTg * fg * wgt + Tg * fg * dwgt, tTg)
+        tTb = jnp.where(step_ok, tTb * fb * wgt + Tb * fb * dwgt, tTb)
+        Tr = jnp.where(step_ok, Tr * fr * wgt, Tr)
+        Tg = jnp.where(step_ok, Tg * fg * wgt, Tg)
+        Tb = jnp.where(step_ok, Tb * fb * wgt, Tb)
+        del okf
+
+        # ---- RR (detached decision, detached boost factor)
+        do_rr = bounce > rr_start
+        p_cont = jnp.minimum(0.5, jnp.maximum(Tr, jnp.maximum(Tg, Tb)))
+        survive = u3 <= p_cont
+        boost = step_ok & do_rr & survive & (p_cont > 0.0)
+        inv_p = 1.0 / jnp.maximum(p_cont, 1e-20)
+        Tr = jnp.where(boost, Tr * inv_p, Tr)
+        Tg = jnp.where(boost, Tg * inv_p, Tg)
+        Tb = jnp.where(boost, Tb * inv_p, Tb)
+        tTr = jnp.where(boost, tTr * inv_p, tTr)
+        tTg = jnp.where(boost, tTg * inv_p, tTg)
+        tTb = jnp.where(boost, tTb * inv_p, tTb)
+
+        alive_next = step_ok & (survive | ~do_rr) & (bounce < max_bounces)
+
+        died = alive & ~alive_next
+        diedf = died.astype(jnp.float32)
+        Lr = Lr + Cr * diedf; Lg = Lg + Cg * diedf; Lb = Lb + Cb * diedf
+        dLr = dLr + tCr * diedf
+        dLg = dLg + tCg * diedf
+        dLb = dLb + tCb * diedf
+        n_samp = n_samp + died.astype(jnp.int32)
+
+        ox = jnp.where(act, hx, ox); oy = jnp.where(act, hy, oy)
+        oz = jnp.where(act, hz, oz)
+        dx = jnp.where(act, wix, dx); dy = jnp.where(act, wiy, dy)
+        dz = jnp.where(act, wiz, dz)
+        tox = jnp.where(act, dpx, tox); toy = jnp.where(act, dpy, toy)
+        toz = jnp.where(act, dpz, toz)
+        tdx = jnp.where(act, twix, tdx); tdy = jnp.where(act, twiy, tdy)
+        tdz = jnp.where(act, twiz, tdz)
+        bounce = jnp.where(act, bounce + 1, bounce)
+        alive = alive_next
+
+    dom = in_domain.astype(jnp.float32)
+    lr_o[:, :] = Lr * dom; lg_o[:, :] = Lg * dom; lb_o[:, :] = Lb * dom
+    dlr_o[:, :] = dLr * dom
+    dlg_o[:, :] = dLg * dom
+    dlb_o[:, :] = dLb * dom
+    ns_o[:, :] = n_samp
+    nrays_o[tile, 0] = n_live
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "budget", "width", "height", "max_bounces",
+                     "rr_start", "tile_rows", "use_nee", "strat_k",
+                     "interpret"),
+)
+def camera_jvp_call(
+    scene: Scene,
+    cam_packed: Array,  # (24,) f32
+    dcam: Array,  # (24,) f32 tangent of the packed camera
+    seed: Array,  # (2,) int32
+    iteration: Array,
+    *,
+    spp: int,
+    budget: int,
+    width: int,
+    height: int,
+    max_bounces: int = 10,
+    rr_start: int = 3,
+    tile_rows: int = 32,
+    use_nee: bool = False,
+    strat_k: int = 2,
+    tile_offset: Array | int = 0,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array, Array]:
+    """One persistent camera-JVP launch. Returns (L_sum (rows,LANES,3),
+    dL_sum (rows,LANES,3), n_samp, live_rays): per-pixel primal radiance
+    sums, their directional derivative along dcam, and completed-sample
+    counts."""
+    if scene.mesh is not None:
+        raise ValueError("camera-jvp kernel: sphere scenes only "
+                         "(mesh camera gradients use the XLA path)")
+    for (ltype, _lp) in scene.light_structure:
+        if use_nee and ltype != 0:
+            raise ValueError("camera-jvp kernel NEE supports point lights "
+                             "only (area-light NEE uses the XLA path)")
+    prims = pack_prims(scene)
+    n_prims = int(scene.num_prims)
+    spec_prims = tuple(
+        i for i, t in enumerate(scene.prim_mtypes) if t == SPECULAR
+    )
+    trans_prims = tuple(
+        i for i, t in enumerate(scene.prim_mtypes) if t == TRANSMISSIVE
+    )
+    lights_static = tuple(scene.light_structure)
+    lights_tab = pack_lights(scene)
+    n_lanes = width * height
+    tile_lanes = tile_rows * LANES
+    n_tiles = -(-n_lanes // tile_lanes)
+    rows_total = n_tiles * tile_rows
+
+    external_rng = bool(interpret)
+    n_draw = 2 + 3 + (3 if use_nee else 0)
+    kernel = functools.partial(
+        _cjvp_kernel,
+        rows=tile_rows, budget=budget, spp=spp, n_prims=n_prims,
+        emissive=tuple(scene.emissive_prims),
+        spec_prims=spec_prims, trans_prims=trans_prims,
+        lights_static=lights_static, use_nee=use_nee, strat_k=strat_k,
+        width=width, max_bounces=max_bounces, rr_start=rr_start,
+        tmin=EPSILON, n_lanes=n_lanes, external_rng=external_rng,
+    )
+    tile_block = lambda i, *_: (i, 0)
+    lane_spec = pl.BlockSpec((tile_rows, LANES), tile_block)
+    rng_inputs = []
+    rng_specs = []
+    if external_rng:
+        rkey = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(3), seed[0] + 131 * seed[1]),
+            iteration,
+        )
+        blk = budget * n_draw * tile_rows
+        gtiles = jnp.int32(tile_offset) + jnp.arange(n_tiles, dtype=jnp.int32)
+        blocks = jax.vmap(
+            lambda t: jax.random.uniform(
+                jax.random.fold_in(rkey, t), (blk, LANES), jnp.float32
+            )
+        )(gtiles)
+        rng_inputs.append(blocks.reshape(n_tiles * blk, LANES))
+        rng_specs.append(pl.BlockSpec((blk, LANES), tile_block))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(prims.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((24,), lambda i, *_: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((24,), lambda i, *_: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(lights_tab.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            *rng_specs,
+        ],
+        out_specs=[
+            lane_spec, lane_spec, lane_spec,
+            lane_spec, lane_spec, lane_spec,
+            lane_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+    )
+    seed4 = jnp.stack(
+        [seed[0], seed[1], jnp.int32(tile_offset), jnp.int32(iteration)]
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed4, prims, cam_packed, dcam, lights_tab, *rng_inputs)
+    lr, lg, lb, dlr, dlg, dlb, ns, nrays = outs
+    L = jnp.stack([lr, lg, lb], axis=-1)
+    dL = jnp.stack([dlr, dlg, dlb], axis=-1)
+    return L, dL, ns, jnp.sum(nrays)
+
+
+def camera_weighted_grad(
+    scene: Scene,
+    camera,
+    seed: Array,
+    weights: Array,  # (H, W, 3) adjoint image (dLoss/dpixel)
+    *,
+    spp: int,
+    max_bounces: int = 10,
+    rr_start: int = 3,
+    budget: int | None = None,
+    tile_rows: int = 32,
+    use_nee: bool = False,
+    strat_k: int = 2,
+    iteration: Array | int = 0,
+    params: tuple = ("pos",),
+    interpret: bool = False,
+) -> tuple[Array, dict]:
+    """sum(weights * image) and its gradient w.r.t. the named camera
+    fields, each via one tangent walk of the fused kernel (~forward-kernel
+    cost per scalar parameter). Returns (value, {name: grad_array}).
+
+    The camera enters through pack_camera: d(packed)/d(param) is a tiny
+    host-side jacfwd; the kernel propagates each packed-camera tangent."""
+    w, h = camera.width, camera.height
+    if budget is None:
+        budget = spp * 4 + max_bounces
+    call = functools.partial(
+        camera_jvp_call,
+        spp=spp, budget=budget, width=w, height=h,
+        max_bounces=max_bounces, rr_start=rr_start, tile_rows=tile_rows,
+        use_nee=use_nee, strat_k=strat_k, interpret=interpret,
+    )
+    grads = {}
+    value = None
+    it = jnp.int32(iteration)
+    for name in params:
+        base = getattr(camera, name)
+        flat = jnp.ravel(jnp.asarray(base, jnp.float32))
+
+        def packed_of(v, name=name, base=base):
+            return pack_camera(
+                camera.replace(**{name: jnp.reshape(v, jnp.shape(base))})
+            )
+
+        jac = jax.jacfwd(packed_of)(flat)  # (24, n)
+        g = []
+        for j in range(flat.shape[0]):
+            L, dL, ns, _ = call(
+                scene, pack_camera(camera), jac[:, j], seed, it
+            )
+            nsafe = jnp.maximum(ns, 1).astype(jnp.float32)[..., None]
+            mean = (L / nsafe).reshape(-1, 3)[: w * h].reshape(h, w, 3)
+            dmean = (dL / nsafe).reshape(-1, 3)[: w * h].reshape(h, w, 3)
+            if value is None:
+                value = jnp.sum(weights * mean)
+            g.append(jnp.sum(weights * dmean))
+        grads[name] = jnp.stack(g).reshape(jnp.shape(base))
+    return value, grads
