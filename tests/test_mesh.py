@@ -312,7 +312,7 @@ def test_two_pass_binned_matches_single_pass():
     # binning soundness: a lane with NO coarse cell must have no mesh hit
     cell = np.asarray(bin_rays(coarse, o, d,
                                jnp.full((600,), 1e30, jnp.float32),
-                               tmin=1e-3, interpret=True))
+                               tmin=1e-3, interpret=True)[0])
     assert (cell == -1).sum() > 0
     assert not hit[cell == -1].any()
 

@@ -134,10 +134,11 @@ def with_packet_mesh(scene: "Scene", two_pass: bool = True,
     from tpu_pathtracer.ops.pallas.mesh_kernel import pack_mesh
 
     coarse = (
-        pack_mesh(scene.mesh, collapse_leaf=coarse_leaf, nodes_only=True)
+        pack_mesh(scene.mesh, collapse_leaf=coarse_leaf, nodes_only=True,
+                  fine_leaf=64)
         if two_pass else None
     )
-    return scene.replace(mesh_packed=pack_mesh(scene.mesh),
+    return scene.replace(mesh_packed=pack_mesh(scene.mesh, collapse_leaf=64),
                          mesh_packed_coarse=coarse)
 
 

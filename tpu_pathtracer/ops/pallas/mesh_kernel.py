@@ -49,6 +49,7 @@ leaf_size 32 — SMEM-resident nodes with room to spare).
 from __future__ import annotations
 
 import functools
+from typing import Any
 
 import flax.struct
 import jax
@@ -84,6 +85,10 @@ class PackedMesh:
     remap: Array  # (Tp,) int32 padded-tri -> original tri (-1 pad)
     leaf_size: int = flax.struct.field(pytree_node=False, default=32)
     num_nodes: int = flax.struct.field(pytree_node=False, default=0)
+    # Coarse trees only: (M, 2) int32 [fine_start, fine_skip) — each
+    # coarse node's subtree as a FINE-tree node range, for the fine
+    # walk's hint-first restart (see intersect_mesh_packet).
+    fine_map: Any = None
 
 
 def _collapse_subtrees(node_start, node_count, node_skip, node_min,
@@ -116,12 +121,13 @@ def _collapse_subtrees(node_start, node_count, node_skip, node_min,
         first_start[i] = nxt
 
     sub_count = pre[node_skip] - pre[np.arange(M)]
-    keep_idx = []
     out = []  # (min, max, old_skip, start, count)
+    kept_orig = []  # original DFS index of each emitted node
     old2new = np.full(M + 1, -1, np.int64)
     i = 0
     while i < M:
         old2new[i] = len(out)
+        kept_orig.append(i)
         sc = sub_count[i]
         if 0 < sc <= collapse_leaf:
             out.append((node_min[i], node_max[i], node_skip[i],
@@ -134,15 +140,18 @@ def _collapse_subtrees(node_start, node_count, node_skip, node_min,
     old2new[M] = len(out)
     new_min = np.stack([o[0] for o in out])
     new_max = np.stack([o[1] for o in out])
-    new_skip = old2new[np.asarray([o[2] for o in out], np.int64)]
+    old_skips = np.asarray([o[2] for o in out], np.int64)
+    new_skip = old2new[old_skips]
     assert (new_skip >= 0).all(), "collapsed skip target not emitted"
     new_start = np.asarray([o[3] for o in out], np.int64)
     new_count = np.asarray([o[4] for o in out], np.int64)
-    return new_start, new_count, new_skip, new_min, new_max
+    return (new_start, new_count, new_skip, new_min, new_max,
+            old2new, np.asarray(kept_orig, np.int64), old_skips)
 
 
 def pack_mesh(mesh: MeshData, collapse_leaf: int = 64,
-              nodes_only: bool = False) -> PackedMesh:
+              nodes_only: bool = False,
+              fine_leaf: int | None = None) -> PackedMesh:
     """Re-pack a built MeshData for packet traversal (leaf-aligned tris).
 
     Slot layout (16 f32): v0 xyz | e1 xyz | e2 xyz | material_id |
@@ -166,9 +175,10 @@ def pack_mesh(mesh: MeshData, collapse_leaf: int = 64,
     node_skip = np.asarray(mesh.node_skip)
     node_min = np.asarray(mesh.node_min)
     node_max = np.asarray(mesh.node_max)
+    kept_orig = old_skips = None
     if collapse_leaf and mesh.num_nodes:
         (node_start, node_count, node_skip, node_min,
-         node_max) = _collapse_subtrees(
+         node_max, _o2n, kept_orig, old_skips) = _collapse_subtrees(
             node_start, node_count, node_skip, node_min, node_max,
             collapse_leaf,
         )
@@ -180,12 +190,36 @@ def pack_mesh(mesh: MeshData, collapse_leaf: int = 64,
         nodes[:, 6] = node_skip
         nodes[:, 7] = node_start  # raw tri index; unused by the bin pass
         nodes[:, 8] = node_count
+        fine_map = None
+        if fine_leaf is not None and kept_orig is not None:
+            # map each coarse node to its subtree's node range in the
+            # FINE tree (same original tree, smaller collapse): any
+            # coarse-emitted original index is also fine-emitted (a
+            # fine-collapsed subtree is strictly inside some
+            # coarse-collapsed one), so old2new_fine is defined there.
+            (_fs, _fc, _fk, _fm, _fx, o2n_f, _ko, _os) = _collapse_subtrees(
+                np.asarray(mesh.node_start), np.asarray(mesh.node_count),
+                np.asarray(mesh.node_skip), np.asarray(mesh.node_min),
+                np.asarray(mesh.node_max), fine_leaf,
+            )
+            fs = o2n_f[kept_orig]
+            fe = o2n_f[old_skips]
+            # A coarse cell FINER than the fine collapse (coarse_leaf <
+            # fine_leaf, e.g. tiny test trees) can sit inside a
+            # fine-collapsed subtree and have no fine-node image; such
+            # cells simply get no hint (0, 0).
+            ok_map = (fs >= 0) & (fe >= 0)
+            fine_map = jnp.asarray(
+                np.stack([np.where(ok_map, fs, 0),
+                          np.where(ok_map, fe, 0)], axis=1), jnp.int32
+            )
         return PackedMesh(
             nodes=jnp.asarray(nodes),
             tri_rows=jnp.zeros((1, LANES), jnp.float32),
             remap=jnp.full((1,), -1, jnp.int32),
             leaf_size=int(node_count.max()) if M else 0,
             num_nodes=M,
+            fine_map=fine_map,
         )
     v0 = np.asarray(mesh.v0)
     e1 = np.asarray(mesh.e1)
@@ -267,6 +301,7 @@ def _packet_kernel(
     tmin: float,
     occlusion: bool,
     flat_nodes: bool,
+    defer_attrs: bool = False,
 ):
     tile = pl.program_id(0)
     ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
@@ -381,6 +416,13 @@ def _packet_kernel(
                     continue
                 t_best = jnp.where(valid, tt, t_best)
                 idx_b = jnp.where(valid, start + j, idx_b)
+                if defer_attrs:
+                    # leanest leaf loop: (t, slot) only; the caller
+                    # resolves normal/uv/mat with ONE packed row gather
+                    # from the slot table (the winner's barycentrics
+                    # recompute in ~10 vectorized XLA ops) — ~20 VPU ops
+                    # per tested triangle saved in the hot loop.
+                    continue
                 # scalar geometric normal (cross of the scalar edges) and
                 # scalar-coefficient uv interpolation — the hit's shading
                 # attributes resolve here, no post-traversal gathers
@@ -407,19 +449,36 @@ def _packet_kernel(
             t_ref[:, :] = t_best
             if not occlusion:
                 idx_ref[:, :] = idx_b
-                nx_ref[:, :] = nx_b
-                ny_ref[:, :] = ny_b
-                nz_ref[:, :] = nz_b
-                tu_ref[:, :] = tu_b
-                tv_ref[:, :] = tv_b
-                mat_ref[:, :] = mat_b
+                if not defer_attrs:
+                    nx_ref[:, :] = nx_b
+                    ny_ref[:, :] = ny_b
+                    nz_ref[:, :] = nz_b
+                    tu_ref[:, :] = tu_b
+                    tv_ref[:, :] = tv_b
+                    mat_ref[:, :] = mat_b
 
         descend = any_hit & ~is_leaf
         return jnp.where(descend, n + 1, skip)
 
-    @pl.when(flags_ref[tile] != 0)
+    @pl.when(flags_ref[tile, 0] != 0)
     def _walk():
-        lax.while_loop(lambda n: n < n_nodes, body, jnp.int32(0))
+        # Hint-first restart: walk the tile's majority coarse cell's
+        # fine subtree [hs, he) FIRST — most lanes find their closest hit
+        # there, so the full walk below starts with a tight per-lane t
+        # and prunes most of the tree (nearest-first ordering the plain
+        # threaded DFS lacks). Phase 2 jumps over the already-walked
+        # range (a subtree is DFS-contiguous, so any entry lands exactly
+        # at hs); revisiting node hs itself once is idempotent (strict
+        # t-improvement updates only).
+        hs = flags_ref[tile, 1]
+        he = flags_ref[tile, 2]
+        lax.while_loop(lambda n: n < he, body, hs)
+
+        def body2(n):
+            nxt = body(n)
+            return jnp.where((n == hs) & (he > hs), he, nxt)
+
+        lax.while_loop(lambda n: n < n_nodes, body2, jnp.int32(0))
 
     # normalize the winning normal (n_geom convention, models/mesh.py)
     if not occlusion:
@@ -435,11 +494,12 @@ def _packet_kernel(
 @functools.partial(
     jax.jit, static_argnames=("rows_total", "tile_rows", "n_nodes",
                               "leaf_rows", "tmin", "any_hit", "flat_nodes",
-                              "interpret"),
+                              "defer_attrs", "interpret"),
 )
 def _run_packet(flags, nodes, tri_rows, o_planes, d_planes, t0_plane,
                 rows_total, tile_rows, n_nodes, leaf_rows, tmin,
-                any_hit=False, flat_nodes=True, interpret=False):
+                any_hit=False, flat_nodes=True, defer_attrs=False,
+                interpret=False):
     lane_spec = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0))
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i, *_: (0, 0),
                                     memory_space=pltpu.VMEM)
@@ -465,7 +525,7 @@ def _run_packet(flags, nodes, tri_rows, o_planes, d_planes, t0_plane,
     kernel = functools.partial(
         _packet_kernel, rows=tile_rows, n_nodes=n_nodes,
         leaf_rows=leaf_rows, tmin=tmin, occlusion=any_hit,
-        flat_nodes=flat_nodes,
+        flat_nodes=flat_nodes, defer_attrs=defer_attrs,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -579,9 +639,10 @@ def _bin_kernel(
 def bin_rays(
     coarse: PackedMesh, o: Array, d: Array, t_init: Array,
     tmin: float, tile_rows: int = 16, interpret: bool = False,
-) -> Array:
-    """(N,) int32 nearest coarse-cell id per ray (-1: provably no mesh hit
-    before t_init / dead lane). The binning input of the two-pass
+) -> tuple[Array, Array]:
+    """(cell, tn): (N,) int32 nearest coarse-cell id per ray (-1: provably
+    no mesh hit before t_init / dead lane) and (N,) f32 its clamped entry
+    distance (BIG when none). The binning inputs of the two-pass
     traversal (see intersect_mesh_packet's `coarse`)."""
     n = o.shape[0]
     n_nodes = coarse.num_nodes
@@ -624,7 +685,7 @@ def bin_rays(
         in_specs=[node(box), node(meta)] + [lane_spec] * 7,
         out_specs=[lane_spec] * 2,
     )
-    cell, _tn = pl.pallas_call(
+    cell, tn = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -633,7 +694,7 @@ def bin_rays(
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(flags, box, meta, *o_planes, *d_planes, t0_plane)
-    return cell.reshape(-1)[:n]
+    return cell.reshape(-1)[:n], tn.reshape(-1)[:n]
 
 
 @flax.struct.dataclass
@@ -682,6 +743,8 @@ def intersect_mesh_packet(
     t_init: Array | None = None,
     any_hit: bool = False,
     coarse: PackedMesh | None = None,
+    defer_attrs: bool = True,
+    hints: Array | None = None,
     interpret: bool = False,
 ) -> PacketHit:
     """Packet-traversal closest hit with in-kernel attribute resolution.
@@ -718,15 +781,32 @@ def intersect_mesh_packet(
     if sort:
         live = t_init > 0.0
         if coarse is not None:
-            cell = bin_rays(coarse, o, d, t_init, tmin,
-                            tile_rows=tile_rows, interpret=interpret)
+            cell, btn = bin_rays(coarse, o, d, t_init, tmin,
+                                 tile_rows=tile_rows, interpret=interpret)
             has = (cell >= 0) & live
-            key = jnp.where(has, cell * 8 + _octant(d), jnp.int32(1 << 26))
+            # minor key: quantized entry distance — lanes entering the
+            # cell at similar depths share fine leaves
+            tq = jnp.clip(btn * (1.0 / 8.0), 0.0, 63.0).astype(jnp.int32)
+            key = jnp.where(
+                has, ((cell * 8 + _octant(d)) << 6) | tq,
+                jnp.int32(1 << 26),
+            )
             t_eff = jnp.where(has, t_init, 0.0)
         else:
             key = packet_sort_key(o, d, alive=live)
             t_eff = t_init
         perm = jnp.argsort(key)
+        in_hints = None
+        if coarse is not None and coarse.fine_map is not None:
+            # per-tile hint = first (post-sort) lane's coarse cell mapped
+            # to its fine-subtree node range — the fine walk descends it
+            # first (nearest-first t tightening)
+            tile_lanes = tile_rows * LANES
+            hcell = jnp.take(cell, perm[::tile_lanes])
+            hrange = jnp.take(
+                coarse.fine_map, jnp.clip(hcell, 0, None), axis=0
+            )
+            in_hints = jnp.where(hcell[:, None] >= 0, hrange, 0)
         # inverse permutation by scatter — ~20% cheaper than a second
         # argsort (benchmarks/profile_mesh_pieces.py)
         inv = jnp.zeros_like(perm).at[perm].set(
@@ -741,7 +821,7 @@ def intersect_mesh_packet(
             packed, packed_rays[:, 0:3], packed_rays[:, 3:6],
             tmin, tile_rows=tile_rows, sort=False,
             t_init=packed_rays[:, 6], any_hit=any_hit,
-            interpret=interpret,
+            defer_attrs=defer_attrs, hints=in_hints, interpret=interpret,
         )
         t_u = jnp.take(hit.t, inv)
         if coarse is not None:
@@ -778,9 +858,12 @@ def intersect_mesh_packet(
     o_planes = tuple(plane(o[:, i]) for i in range(3))
     d_planes = tuple(plane(d[:, i]) for i in range(3))
     t0_plane = plane(t_init, fill=0.0)  # pad lanes are dead
-    flags = jnp.any(
+    live_flag = jnp.any(
         (t0_plane > 0.0).reshape(n_tiles, tile_rows * LANES), axis=1
     ).astype(jnp.int32)
+    if hints is None:
+        hints = jnp.zeros((n_tiles, 2), jnp.int32)
+    flags = jnp.concatenate([live_flag[:, None], hints], axis=1)
 
     leaf_rows = max(1, -(-packed.leaf_size // TRIS_PER_ROW))
     t, idx, nx, ny, nz, tu, tv, mat = _run_packet(
@@ -788,7 +871,7 @@ def intersect_mesh_packet(
         rows_total, tile_rows, packed.num_nodes, leaf_rows, tmin,
         any_hit=any_hit,
         flat_nodes=36 * packed.num_nodes <= SMEM_NODE_BUDGET,
-        interpret=interpret,
+        defer_attrs=defer_attrs, interpret=interpret,
     )
 
     def unplane(a):
@@ -814,6 +897,36 @@ def intersect_mesh_packet(
         jnp.take(packed.remap, jnp.clip(idx, 0, packed.remap.shape[0] - 1)),
         0,
     )
+    if defer_attrs:
+        # Post-walk attribute resolution: ONE packed row gather from the
+        # slot table + ~15 vectorized ops (normal cross, Moller-Trumbore
+        # barycentrics recompute, uv interpolation) — the hot leaf loop
+        # only tracked (t, slot). Masked to the kernel's zeros-on-miss
+        # convention.
+        slots = packed.tri_rows.reshape(-1, TRI_STRIDE)
+        row = jnp.take(
+            slots, jnp.clip(idx, 0, slots.shape[0] - 1), axis=0
+        )
+        fnd = found[:, None].astype(jnp.float32)
+        v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+        n_raw = jnp.cross(e1, e2)
+        n_len = jnp.sqrt(
+            jnp.maximum(jnp.sum(n_raw * n_raw, axis=-1), 1e-20)
+        )
+        n_out = n_raw / n_len[:, None] * fnd
+        p_ = jnp.cross(d, e2)
+        det = jnp.sum(e1 * p_, axis=-1)
+        inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+        tvv = o - v0
+        uu = jnp.sum(tvv * p_, axis=-1) * inv_det
+        q_ = jnp.cross(tvv, e1)
+        vv = jnp.sum(d * q_, axis=-1) * inv_det
+        uv = (
+            row[:, 10:12] + uu[:, None] * row[:, 12:14]
+            + vv[:, None] * row[:, 14:16]
+        ) * fnd
+        mat_out = jnp.where(found, row[:, 9].astype(jnp.int32), 0)
+        return PacketHit(t=t_out, tri=tri, n=n_out, uv=uv, mat=mat_out)
     return PacketHit(
         t=t_out,
         tri=tri,
