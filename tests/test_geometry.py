@@ -3,11 +3,21 @@ attached-geom interior term, validated against finite differences.
 
 FD caveat: with fixed jitters the rendered functional is a STAIRCASE in
 geometry parameters (a sample either crosses the moving silhouette or it
-doesn't), so FD needs a step large enough to sweep many samples across
-the edge; tolerances here reflect that MC noise, not estimator bias.
-The pure-coverage case (emissive sphere, no bounces) isolates the
-boundary term — there the interior is exactly zero and agreement is a
-few percent.
+doesn't), so a SINGLE-iteration central difference carries large
+staircase noise — that noise, not estimator variance, set round 3's
+loose rtol 0.1-0.15. Measured evidence (VERDICT r3 item 8, offline
+experiment on this exact fixture):
+
+    estimator, radius d/dr over 6 edge-seed replicates:
+        n_edge  4096: 394.31 +- 0.07
+        n_edge 16384: 394.32 +- 0.005
+        n_edge 65536: 394.33 +- 0.004     (variance ~ 1/n_edge, tiny)
+    FD averaged over 16 jitter iterations: 394.76 +- 2.19 (sem)
+        -> relative gap 0.11% (radius), 0.84% (center z, 52.22 +- 0.88)
+
+So the tests below average FD over several iterations and assert at
+rtol 2e-2 (radius) / 5e-2 (center z) — an order tighter than round 3,
+bounded by the remaining FD sem, not the estimator.
 """
 from __future__ import annotations
 
@@ -38,9 +48,9 @@ def coverage_case():
         np.random.default_rng(11).random((H, W, 3), np.float32)
     )
 
-    def J(centers, radii):
+    def J(centers, radii, it=0):
         s = scene.replace(centers=centers, radii=radii)
-        return float(jnp.sum(render(s, cam, key, config, iteration=0)
+        return float(jnp.sum(render(s, cam, key, config, iteration=it)
                              * wimg))
 
     return scene, cam, config, key, wimg, J
@@ -48,23 +58,33 @@ def coverage_case():
 
 def test_boundary_radius_matches_fd(coverage_case):
     scene, cam, config, key, wimg, J = coverage_case
-    g = geometry_grads(scene, cam, key, config, wimg, n_edge_samples=4096)
+    g = geometry_grads(scene, cam, key, config, wimg, n_edge_samples=8192)
     h = 0.25
-    fd = (J(scene.centers, scene.radii.at[0].add(h))
-          - J(scene.centers, scene.radii.at[0].add(-h))) / (2 * h)
+    # FD averaged over jitter iterations: kills the staircase noise that
+    # forced round 3's rtol 0.1 (see module docstring evidence)
+    fds = [
+        (J(scene.centers, scene.radii.at[0].add(h), it)
+         - J(scene.centers, scene.radii.at[0].add(-h), it)) / (2 * h)
+        for it in range(8)
+    ]
+    fd = float(np.mean(fds))
     assert fd > 0  # growing an emitter on black must increase J
-    np.testing.assert_allclose(float(g["radii"][0]), fd, rtol=0.1)
+    np.testing.assert_allclose(float(g["radii"][0]), fd, rtol=2e-2)
 
 
 def test_boundary_center_matches_fd(coverage_case):
     scene, cam, config, key, wimg, J = coverage_case
-    g = geometry_grads(scene, cam, key, config, wimg, n_edge_samples=4096)
+    g = geometry_grads(scene, cam, key, config, wimg, n_edge_samples=8192)
     # z (toward/away from camera) has the largest, most FD-stable
     # component: moving closer grows the projection.
     h = 0.4
-    fd = (J(scene.centers.at[0, 2].add(h), scene.radii)
-          - J(scene.centers.at[0, 2].add(-h), scene.radii)) / (2 * h)
-    np.testing.assert_allclose(float(g["centers"][0, 2]), fd, rtol=0.15)
+    fds = [
+        (J(scene.centers.at[0, 2].add(h), scene.radii, it)
+         - J(scene.centers.at[0, 2].add(-h), scene.radii, it)) / (2 * h)
+        for it in range(10)
+    ]
+    fd = float(np.mean(fds))
+    np.testing.assert_allclose(float(g["centers"][0, 2]), fd, rtol=5e-2)
 
 
 def test_wall_spheres_contribute_no_boundary():
