@@ -174,8 +174,10 @@ def main() -> None:
     ap.add_argument("--size", default="640x480")
     ap.add_argument("--spp", type=int, default=1)
     ap.add_argument("--bounces", type=int, default=10)
-    ap.add_argument("--estimator", default="replay",
-                    choices=["replay", "autodiff", "kernel", "pkernel"])
+    ap.add_argument("--estimator", default="pkernel",
+                    choices=["replay", "autodiff", "kernel", "pkernel"],
+                    help="pkernel (default) is the production trainer "
+                         "path (diff/inverse engine='persistent')")
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
     w, h = (int(x) for x in args.size.lower().split("x"))
