@@ -769,11 +769,24 @@ def intersect_mesh_packet(
     the structural answer to the incoherent-wave wall (the octant sort's
     tiles still drag every lane through the union of all lanes' leaves):
     a box-only walk of the ~few-hundred-node coarse tree (bin_rays) maps
-    each ray to its NEAREST coarse cell; rays then sort by (cell, octant)
-    so a fine-walk tile's lanes genuinely share subtrees, and rays that
-    enter NO coarse cell before t_init — provably mesh-miss lanes, e.g.
-    sky-facing bounce rays — are culled from the fine walk outright
-    (their tiles skip everything).
+    each ray to its NEAREST coarse cell; rays then sort by (cell,
+    octant, quantized entry depth) so a fine-walk tile's lanes genuinely
+    share subtrees, and rays that enter NO coarse cell before t_init —
+    provably mesh-miss lanes, e.g. sky-facing bounce rays — are culled
+    from the fine walk outright (their tiles skip everything). If the
+    coarse tree carries a fine_map (pack_mesh fine_leaf=...), each tile
+    additionally walks its first lane's cell subtree FIRST (hint-first
+    restart: nearest-first t tightening, then the full walk jumps the
+    already-walked range).
+
+    defer_attrs=True (default) keeps the hot leaf loop down to (t, slot)
+    tracking; normal/uv/mat resolve after the walk with one packed row
+    gather + a vectorized barycentric recompute. defer_attrs=False keeps
+    the round-2 in-kernel resolution (A/B baseline).
+
+    hints: (n_tiles, 2) int32 [fine_start, fine_skip) per tile for the
+    unsorted path — normally produced internally by the sorted/two-pass
+    branch; (0, 0) rows mean "no hint".
     """
     n = o.shape[0]
     if t_init is None:
