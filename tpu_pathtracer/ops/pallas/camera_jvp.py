@@ -1,15 +1,16 @@
 """Camera-pose tangent kernel: forward-mode JVP through the persistent
-regeneration walk.
+regeneration walk, N tangent directions per walk.
 
 Closes the ~30x gradient-speed gap for camera parameters (VERDICT r3
 item 7): the material/intensity gradients ride the fused streaming
 adjoint at ~2 ms/grad, while camera-pose gradients only existed on the
-XLA attached-autodiff path at ~78 Mrays/s. This kernel propagates ONE
-tangent direction of the packed camera (d pack_camera / d theta, a
-24-float SMEM operand computed host-side by jax.jacfwd of pack_camera)
-through the SAME persistent path-regeneration schedule as the forward
-kernel (ops/pallas/persistent.py) and accumulates the per-pixel tangent
-radiance d(sum L)/d theta alongside the primal.
+XLA attached-autodiff path at ~78 Mrays/s. This kernel propagates a
+BATCH of packed-camera tangents (d pack_camera / d theta_j, a (T, 24)
+SMEM operand computed host-side by jax.jacfwd of pack_camera) through
+the SAME persistent path-regeneration schedule as the forward kernel
+(ops/pallas/persistent.py) and accumulates per-pixel tangent radiance
+d(sum L)/d theta_j for every direction alongside the shared primal —
+one walk for the whole camera gradient.
 
 Estimator (matches the validated XLA camera estimator,
 tests/test_gradients.py::test_grad_camera_pose_matches_fd_edge_free):
@@ -29,9 +30,8 @@ tests/test_gradients.py::test_grad_camera_pose_matches_fd_edge_free):
 
 Scope: sphere scenes (the fixtures the estimator class is FD-validated
 on), brute-force or point-light NEE transport, no DOF. Mesh scenes,
-sphere-area-light NEE and DOF route to the XLA attached-autodiff path
-(diff/camera.py falls back automatically) — the estimator is identical,
-only slower.
+sphere-area-light NEE and DOF route to the XLA attached-autodiff path —
+the estimator is identical, only slower.
 """
 from __future__ import annotations
 
@@ -56,12 +56,13 @@ def _cjvp_kernel(
     seed_ref,  # (4,) int32: [seed, salt, tile_offset, iteration]
     prims_ref,  # (P, 12) f32 SMEM
     cam_ref,  # (24,) f32 SMEM
-    dcam_ref,  # (24,) f32 SMEM — tangent of the packed camera
+    dcam_ref,  # (T, 24) f32 SMEM — packed-camera tangents
     lights_ref,  # (L, 8) f32 SMEM
     *refs,
     rows: int,
     budget: int,
     spp: int,
+    n_tan: int,
     n_prims: int,
     emissive: tuple,
     spec_prims: tuple,
@@ -78,11 +79,16 @@ def _cjvp_kernel(
 ):
     rng_ref = refs[0] if external_rng else None
     n_in = 1 if external_rng else 0
-    (lr_o, lg_o, lb_o, dlr_o, dlg_o, dlb_o, ns_o, nrays_o) = refs[n_in:]
+    outs = refs[n_in:]
+    lr_o, lg_o, lb_o = outs[0:3]
+    dl_os = outs[3:3 + 3 * n_tan]  # [dlr_0, dlg_0, dlb_0, dlr_1, ...]
+    ns_o = outs[3 + 3 * n_tan]
+    nrays_o = outs[4 + 3 * n_tan]
 
     tile = pl.program_id(0)
     shape = (rows, LANES)
     fzeros = jnp.zeros(shape, jnp.float32)
+    T_ = n_tan
 
     lane = (
         jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
@@ -96,19 +102,25 @@ def _cjvp_kernel(
     _seed_streams(seed_ref[0], seed_ref[3], tile + seed_ref[2], seed_ref[1],
                   jnp.int32(1))
 
-    # primal accumulators + tangent accumulators (per pixel)
+    def vz():
+        return [fzeros for _ in range(T_)]
+
+    def vz3():
+        return vz(), vz(), vz()
+
+    # primal accumulators + per-tangent accumulators (per pixel)
     Lr = fzeros; Lg = fzeros; Lb = fzeros
-    dLr = fzeros; dLg = fzeros; dLb = fzeros
+    dLr, dLg, dLb = vz3()
     n_samp = jnp.zeros(shape, jnp.int32)
-    # in-flight path state
+    # in-flight path state (primal + per-tangent)
     ox = fzeros; oy = fzeros; oz = fzeros
     dx = fzeros; dy = fzeros; dz = fzeros + 1.0
-    tox = fzeros; toy = fzeros; toz = fzeros  # tangent of origin
-    tdx = fzeros; tdy = fzeros; tdz = fzeros  # tangent of direction
+    tox, toy, toz = vz3()  # tangent of origin
+    tdx, tdy, tdz = vz3()  # tangent of direction
     Tr = fzeros; Tg = fzeros; Tb = fzeros
-    tTr = fzeros; tTg = fzeros; tTb = fzeros
+    tTr, tTg, tTb = vz3()
     Cr = fzeros; Cg = fzeros; Cb = fzeros
-    tCr = fzeros; tCg = fzeros; tCb = fzeros
+    tCr, tCg, tCb = vz3()
     bounce = jnp.zeros(shape, jnp.int32)
     alive = jnp.zeros(shape, jnp.bool_)
     n_live = jnp.zeros((), jnp.int32)
@@ -147,18 +159,10 @@ def _cjvp_kernel(
         gdx = cam_ref[0] - cam_ref[6] * sy + cam_ref[3] * sx
         gdy = cam_ref[1] - cam_ref[7] * sy + cam_ref[4] * sx
         gdz = cam_ref[2] - cam_ref[8] * sy + cam_ref[5] * sx
-        tgx = dcam_ref[0] - dcam_ref[6] * sy + dcam_ref[3] * sx
-        tgy = dcam_ref[1] - dcam_ref[7] * sy + dcam_ref[4] * sx
-        tgz = dcam_ref[2] - dcam_ref[8] * sy + dcam_ref[5] * sx
         inv_g = jax.lax.rsqrt(
             jnp.maximum(gdx * gdx + gdy * gdy + gdz * gdz, 1e-20)
         )
         ndx = gdx * inv_g; ndy = gdy * inv_g; ndz = gdz * inv_g
-        gdot = ndx * tgx + ndy * tgy + ndz * tgz
-        # d normalize(g) = (dg - n (n.dg)) / |g|
-        t_ndx = (tgx - ndx * gdot) * inv_g
-        t_ndy = (tgy - ndy * gdot) * inv_g
-        t_ndz = (tgz - ndz * gdot) * inv_g
 
         ox = jnp.where(regen, fzeros + cam_ref[9], ox)
         oy = jnp.where(regen, fzeros + cam_ref[10], oy)
@@ -166,20 +170,28 @@ def _cjvp_kernel(
         dx = jnp.where(regen, ndx, dx)
         dy = jnp.where(regen, ndy, dy)
         dz = jnp.where(regen, ndz, dz)
-        tox = jnp.where(regen, fzeros + dcam_ref[9], tox)
-        toy = jnp.where(regen, fzeros + dcam_ref[10], toy)
-        toz = jnp.where(regen, fzeros + dcam_ref[11], toz)
-        tdx = jnp.where(regen, t_ndx, tdx)
-        tdy = jnp.where(regen, t_ndy, tdy)
-        tdz = jnp.where(regen, t_ndz, tdz)
         one = jnp.where(regen, 1.0, 0.0)
+        keep = 1.0 - one
+        for j in range(T_):
+            dc = lambda k, j=j: dcam_ref[j, k]
+            tgx = dc(0) - dc(6) * sy + dc(3) * sx
+            tgy = dc(1) - dc(7) * sy + dc(4) * sx
+            tgz = dc(2) - dc(8) * sy + dc(5) * sx
+            gdot = ndx * tgx + ndy * tgy + ndz * tgz
+            # d normalize(g) = (dg - n (n.dg)) / |g|
+            tox[j] = jnp.where(regen, fzeros + dc(9), tox[j])
+            toy[j] = jnp.where(regen, fzeros + dc(10), toy[j])
+            toz[j] = jnp.where(regen, fzeros + dc(11), toz[j])
+            tdx[j] = jnp.where(regen, (tgx - ndx * gdot) * inv_g, tdx[j])
+            tdy[j] = jnp.where(regen, (tgy - ndy * gdot) * inv_g, tdy[j])
+            tdz[j] = jnp.where(regen, (tgz - ndz * gdot) * inv_g, tdz[j])
+            tTr[j] = tTr[j] * keep; tTg[j] = tTg[j] * keep
+            tTb[j] = tTb[j] * keep
+            tCr[j] = tCr[j] * keep; tCg[j] = tCg[j] * keep
+            tCb[j] = tCb[j] * keep
         Tr = jnp.where(regen, 1.0, Tr); Tg = jnp.where(regen, 1.0, Tg)
         Tb = jnp.where(regen, 1.0, Tb)
-        tTr = tTr * (1.0 - one); tTg = tTg * (1.0 - one)
-        tTb = tTb * (1.0 - one)
-        Cr = Cr * (1.0 - one); Cg = Cg * (1.0 - one); Cb = Cb * (1.0 - one)
-        tCr = tCr * (1.0 - one); tCg = tCg * (1.0 - one)
-        tCb = tCb * (1.0 - one)
+        Cr = Cr * keep; Cg = Cg * keep; Cb = Cb * keep
         bounce = jnp.where(regen, 0, bounce)
         alive = alive | regen
         n_live = n_live + jnp.sum(alive.astype(jnp.int32))
@@ -241,33 +253,36 @@ def _cjvp_kernel(
 
         # ---- geometry tangents (IFT on the winner's sphere constraint)
         nd = _dot3(nx, ny, nz, dx, dy, dz)
-        n_do = _dot3(nx, ny, nz, tox, toy, toz)
-        n_dd = _dot3(nx, ny, nz, tdx, tdy, tdz)
-        dt = -(n_do + t_hit * n_dd) / jnp.where(
+        nd_safe = jnp.where(
             jnp.abs(nd) > 1e-6, nd, jnp.where(nd >= 0, 1e-6, -1e-6)
         )
-        dt = dt * actf
-        dpx = (tox + dx * dt + tdx * t_hit) * actf
-        dpy = (toy + dy * dt + tdy * t_hit) * actf
-        dpz = (toz + dz * dt + tdz * t_hit) * actf
-        dnx = dpx * inv_r
-        dny = dpy * inv_r
-        dnz = dpz * inv_r
+        dpx, dpy, dpz = vz3()
+        dnx, dny, dnz = vz3()
+        for j in range(T_):
+            n_do = _dot3(nx, ny, nz, tox[j], toy[j], toz[j])
+            n_dd = _dot3(nx, ny, nz, tdx[j], tdy[j], tdz[j])
+            dt = -(n_do + t_hit * n_dd) / nd_safe * actf
+            dpx[j] = (tox[j] + dx * dt + tdx[j] * t_hit) * actf
+            dpy[j] = (toy[j] + dy * dt + tdy[j] * t_hit) * actf
+            dpz[j] = (toz[j] + dz * dt + tdz[j] * t_hit) * actf
+            dnx[j] = dpx[j] * inv_r
+            dny[j] = dpy[j] * inv_r
+            dnz[j] = dpz[j] * inv_r
 
         wox, woy, woz = dx, dy, dz
-        twx, twy, twz = tdx, tdy, tdz  # tangent of wo
+        twx, twy, twz = tdx, tdy, tdz  # tangents of wo (aliases)
 
-        # ---- emitter-hit (brute take; MIS weight for NEE is a detached
-        # sampling quantity — this kernel's NEE supports point lights,
-        # which are delta and never hit, so w_emit == 1 throughout)
+        # ---- emitter-hit (brute take; this kernel's NEE is point-light
+        # only — delta lights are never hit, so w_emit == 1 throughout)
         one_sided = _dot3(nx, ny, nz, -wox, -woy, -woz) > 0.0
         take = (act & one_sided).astype(jnp.float32)
         Cr = Cr + Tr * er * take
         Cg = Cg + Tg * eg * take
         Cb = Cb + Tb * eb * take
-        tCr = tCr + tTr * er * take
-        tCg = tCg + tTg * eg * take
-        tCb = tCb + tTb * eb * take
+        for j in range(T_):
+            tCr[j] = tCr[j] + tTr[j] * er * take
+            tCg[j] = tCg[j] + tTg[j] * eg * take
+            tCb[j] = tCb[j] + tTb[j] * eb * take
 
         # ---- NEE, point lights only (scene.h:153-158), with tangents
         is_d = ~(is_s | is_t) if (spec_prims or trans_prims) else None
@@ -289,14 +304,6 @@ def _cjvp_kernel(
                 dist_l = d2l * inv_dl
                 wlx = wrx * inv_dl; wly = wry * inv_dl; wlz = wrz * inv_dl
                 inv_d2 = inv_dl * inv_dl
-                # tangents: d(wr) = -dp; d(d2l) = 2 wr.dwr
-                dd2l = -2.0 * _dot3(wrx, wry, wrz, dpx, dpy, dpz)
-                dinv_d2 = -inv_d2 * inv_d2 * dd2l
-                # d wl = (dwr - wl (wl.dwr)) * inv_dl
-                wl_dwr = -_dot3(wlx, wly, wlz, dpx, dpy, dpz)
-                dwlx = (-dpx - wlx * wl_dwr) * inv_dl
-                dwly = (-dpy - wly * wl_dwr) * inv_dl
-                dwlz = (-dpz - wlz * wl_dwr) * inv_dl
                 valid = dist_l > tmin
                 smax = dist_l * (1.0 - 1e-3) - tmin
                 occ = jnp.zeros(shape, jnp.bool_)
@@ -312,24 +319,16 @@ def _cjvp_kernel(
                     )
                     occ = occ | (d2s < prims_ref[pp, 3] * prims_ref[pp, 3])
                 cos_l = _dot3(wlx, wly, wlz, nx, ny, nz)
-                dcos_l = (
-                    _dot3(dwlx, dwly, dwlz, nx, ny, nz)
-                    + _dot3(wlx, wly, wlz, dnx, dny, dnz)
-                )
                 support = (cos_l > 0.0) & (
                     _dot3(wox, woy, woz, wlx, wly, wlz) < 0.0
                 )
                 if spec_prims or trans_prims:
                     support = support & is_d
                 gate = (act & m_l & valid & support).astype(jnp.float32)
-                n_live = n_live + jnp.sum(
-                    (gate > 0).astype(jnp.int32)
-                )
+                n_live = n_live + jnp.sum((gate > 0).astype(jnp.int32))
                 gate = gate * (~occ).astype(jnp.float32)
                 inv_sel = 1.0 / jnp.maximum(sel, 1e-20)
-                # contribution = T * (a/pi) * I*inv_d2 * cos_l * gate/sel
                 s_r = gate * cos_l * inv_sel
-                ds_r = gate * dcos_l * inv_sel
                 ir_l = lights_ref[li, 3]
                 ig_l = lights_ref[li, 4]
                 ib_l = lights_ref[li, 5]
@@ -337,18 +336,32 @@ def _cjvp_kernel(
                 Cr = Cr + Tr * fr_d * ir_l * inv_d2 * s_r
                 Cg = Cg + Tg * fg_d * ig_l * inv_d2 * s_r
                 Cb = Cb + Tb * fb_d * ib_l * inv_d2 * s_r
-                tCr = tCr + fr_d * ir_l * (
-                    tTr * inv_d2 * s_r + Tr * dinv_d2 * s_r
-                    + Tr * inv_d2 * ds_r
-                )
-                tCg = tCg + fg_d * ig_l * (
-                    tTg * inv_d2 * s_r + Tg * dinv_d2 * s_r
-                    + Tg * inv_d2 * ds_r
-                )
-                tCb = tCb + fb_d * ib_l * (
-                    tTb * inv_d2 * s_r + Tb * dinv_d2 * s_r
-                    + Tb * inv_d2 * ds_r
-                )
+                for j in range(T_):
+                    # d(wr) = -dp; d(d2l) = 2 wr.dwr
+                    dd2l = -2.0 * _dot3(wrx, wry, wrz,
+                                        dpx[j], dpy[j], dpz[j])
+                    dinv_d2 = -inv_d2 * inv_d2 * dd2l
+                    wl_dwr = -_dot3(wlx, wly, wlz, dpx[j], dpy[j], dpz[j])
+                    dwlx = (-dpx[j] - wlx * wl_dwr) * inv_dl
+                    dwly = (-dpy[j] - wly * wl_dwr) * inv_dl
+                    dwlz = (-dpz[j] - wlz * wl_dwr) * inv_dl
+                    dcos_l = (
+                        _dot3(dwlx, dwly, dwlz, nx, ny, nz)
+                        + _dot3(wlx, wly, wlz, dnx[j], dny[j], dnz[j])
+                    )
+                    ds_r = gate * dcos_l * inv_sel
+                    tCr[j] = tCr[j] + fr_d * ir_l * (
+                        tTr[j] * inv_d2 * s_r + Tr * dinv_d2 * s_r
+                        + Tr * inv_d2 * ds_r
+                    )
+                    tCg[j] = tCg[j] + fg_d * ig_l * (
+                        tTg[j] * inv_d2 * s_r + Tg * dinv_d2 * s_r
+                        + Tg * inv_d2 * ds_r
+                    )
+                    tCb[j] = tCb[j] + fb_d * ib_l * (
+                        tTb[j] * inv_d2 * s_r + Tb * dinv_d2 * s_r
+                        + Tb * inv_d2 * ds_r
+                    )
 
         # ---- attached diffuse bounce: wi = ONB(n) @ l, l detached
         r_d = jnp.sqrt(u1)
@@ -360,45 +373,49 @@ def _cjvp_kernel(
         gux = jnp.where(use_x, -ny, fzeros)
         guy = jnp.where(use_x, nx, -nz)
         guz = jnp.where(use_x, fzeros, ny)
-        dgux = jnp.where(use_x, -dny, fzeros)
-        dguy = jnp.where(use_x, dnx, -dnz)
-        dguz = jnp.where(use_x, fzeros, dny)
         inv_u = jax.lax.rsqrt(
             jnp.maximum(gux * gux + guy * guy + guz * guz, 1e-20)
         )
         ux = gux * inv_u; uy = guy * inv_u; uz = guz * inv_u
-        u_dg = ux * dgux + uy * dguy + uz * dguz
-        dux = (dgux - ux * u_dg) * inv_u
-        duy = (dguy - uy * u_dg) * inv_u
-        duz = (dguz - uz * u_dg) * inv_u
         vx = ny * uz - nz * uy
         vy = nz * ux - nx * uz
-        vz = nx * uy - ny * ux
-        dvx = dny * uz + ny * duz - dnz * uy - nz * duy
-        dvy = dnz * ux + nz * dux - dnx * uz - nx * duz
-        dvz = dnx * uy + nx * duy - dny * ux - ny * dux
+        vz_ = nx * uy - ny * ux
         wdx = ux * ldx + vx * ldy + nx * ldz
         wdy = uy * ldx + vy * ldy + ny * ldz
-        wdz = uz * ldx + vz * ldy + nz * ldz
-        twdx = dux * ldx + dvx * ldy + dnx * ldz
-        twdy = duy * ldx + dvy * ldy + dny * ldz
-        twdz = duz * ldx + dvz * ldy + dnz * ldz
+        wdz = uz * ldx + vz_ * ldy + nz * ldz
         pdf_d = jnp.where(
             _dot3(wox, woy, woz, wdx, wdy, wdz) < 0.0, ldz * INV_PI, 0.0
         )
+        twdx, twdy, twdz = vz3()
+        for j in range(T_):
+            dgux = jnp.where(use_x, -dny[j], fzeros)
+            dguy = jnp.where(use_x, dnx[j], -dnz[j])
+            dguz = jnp.where(use_x, fzeros, dny[j])
+            u_dg = ux * dgux + uy * dguy + uz * dguz
+            dux = (dgux - ux * u_dg) * inv_u
+            duy = (dguy - uy * u_dg) * inv_u
+            duz = (dguz - uz * u_dg) * inv_u
+            dvx = dny[j] * uz + ny * duz - dnz[j] * uy - nz * duy
+            dvy = dnz[j] * ux + nz * dux - dnx[j] * uz - nx * duz
+            dvz = dnx[j] * uy + nx * duy - dny[j] * ux - ny * dux
+            twdx[j] = dux * ldx + dvx * ldy + dnx[j] * ldz
+            twdy[j] = duy * ldx + dvy * ldy + dny[j] * ldz
+            twdz[j] = duz * ldx + dvz * ldy + dnz[j] * ldz
 
         won = _dot3(wox, woy, woz, nx, ny, nz)
         if spec_prims or trans_prims:
-            dwon = (
-                _dot3(twx, twy, twz, nx, ny, nz)
-                + _dot3(wox, woy, woz, dnx, dny, dnz)
-            )
             wsx = wox - 2.0 * won * nx
             wsy = woy - 2.0 * won * ny
             wsz = woz - 2.0 * won * nz
-            twsx = twx - 2.0 * (dwon * nx + won * dnx)
-            twsy = twy - 2.0 * (dwon * ny + won * dny)
-            twsz = twz - 2.0 * (dwon * nz + won * dnz)
+            twsx, twsy, twsz = vz3()
+            for j in range(T_):
+                dwon = (
+                    _dot3(twx[j], twy[j], twz[j], nx, ny, nz)
+                    + _dot3(wox, woy, woz, dnx[j], dny[j], dnz[j])
+                )
+                twsx[j] = twx[j] - 2.0 * (dwon * nx + won * dnx[j])
+                twsy[j] = twy[j] - 2.0 * (dwon * ny + won * dny[j])
+                twsz[j] = twz[j] - 2.0 * (dwon * nz + won * dnz[j])
 
         if trans_prims:
             entering = won < 0.0
@@ -407,36 +424,39 @@ def _cjvp_kernel(
             n2 = jnp.where(entering, ior, 1.0)
             sgn = jnp.where(entering, 1.0, -1.0)
             nnx = nx * sgn; nny = ny * sgn; nnz = nz * sgn
-            dnnx = dnx * sgn; dnny = dny * sgn; dnnz = dnz * sgn
             cos_i = -(wox * nnx + woy * nny + woz * nnz)
-            dcos_i = -(
-                twx * nnx + wox * dnnx + twy * nny + woy * dnny
-                + twz * nnz + woz * dnnz
-            )
             eta = n1 / n2
             sin2t = eta * eta * (1.0 - cos_i * cos_i)
-            dsin2t = eta * eta * (-2.0 * cos_i * dcos_i)
             cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2t, 1e-12))
-            dcos_t = -0.5 * dsin2t / cos_t
             r_orth = (n1 * cos_i - n2 * cos_t) / (n1 * cos_i + n2 * cos_t)
             r_par = (n2 * cos_i - n1 * cos_t) / (n2 * cos_i + n1 * cos_t)
             refl = jnp.where(sin2t > 1.0, 1.0,
                              0.5 * (r_orth * r_orth + r_par * r_par))
             do_reflect = u1 < refl  # detached coin
             fac = eta * (-cos_i) + cos_t
-            dfac = eta * (-dcos_i) + dcos_t
             txx = wox * eta - fac * nnx
             txy = woy * eta - fac * nny
             txz = woz * eta - fac * nnz
-            dtxx = twx * eta - dfac * nnx - fac * dnnx
-            dtxy = twy * eta - dfac * nny - fac * dnny
-            dtxz = twz * eta - dfac * nnz - fac * dnnz
             wtx = jnp.where(do_reflect, wsx, txx)
             wty = jnp.where(do_reflect, wsy, txy)
             wtz = jnp.where(do_reflect, wsz, txz)
-            twtx = jnp.where(do_reflect, twsx, dtxx)
-            twty = jnp.where(do_reflect, twsy, dtxy)
-            twtz = jnp.where(do_reflect, twsz, dtxz)
+            twtx, twty, twtz = vz3()
+            for j in range(T_):
+                dnnx = dnx[j] * sgn; dnny = dny[j] * sgn
+                dnnz = dnz[j] * sgn
+                dcos_i = -(
+                    twx[j] * nnx + wox * dnnx + twy[j] * nny + woy * dnny
+                    + twz[j] * nnz + woz * dnnz
+                )
+                dsin2t = eta * eta * (-2.0 * cos_i * dcos_i)
+                dcos_t = -0.5 * dsin2t / cos_t
+                dfac = eta * (-dcos_i) + dcos_t
+                dtxx = twx[j] * eta - dfac * nnx - fac * dnnx
+                dtxy = twy[j] * eta - dfac * nny - fac * dnny
+                dtxz = twz[j] * eta - dfac * nnz - fac * dnnz
+                twtx[j] = jnp.where(do_reflect, twsx[j], dtxx)
+                twty[j] = jnp.where(do_reflect, twsy[j], dtxy)
+                twtz[j] = jnp.where(do_reflect, twsz[j], dtxz)
 
         wix, wiy, wiz = wdx, wdy, wdz
         twix, twiy, twiz = twdx, twdy, twdz
@@ -446,9 +466,10 @@ def _cjvp_kernel(
             wix = jnp.where(is_s, wsx, wix)
             wiy = jnp.where(is_s, wsy, wiy)
             wiz = jnp.where(is_s, wsz, wiz)
-            twix = jnp.where(is_s, twsx, twix)
-            twiy = jnp.where(is_s, twsy, twiy)
-            twiz = jnp.where(is_s, twsz, twiz)
+            for j in range(T_):
+                twix[j] = jnp.where(is_s, twsx[j], twix[j])
+                twiy[j] = jnp.where(is_s, twsy[j], twiy[j])
+                twiz[j] = jnp.where(is_s, twsz[j], twiz[j])
             fr = jnp.where(is_s, coef * ar, fr)
             fg = jnp.where(is_s, coef * ag, fg)
             fb = jnp.where(is_s, coef * ab, fb)
@@ -456,9 +477,10 @@ def _cjvp_kernel(
             wix = jnp.where(is_t, wtx, wix)
             wiy = jnp.where(is_t, wty, wiy)
             wiz = jnp.where(is_t, wtz, wiz)
-            twix = jnp.where(is_t, twtx, twix)
-            twiy = jnp.where(is_t, twty, twiy)
-            twiz = jnp.where(is_t, twtz, twiz)
+            for j in range(T_):
+                twix[j] = jnp.where(is_t, twtx[j], twix[j])
+                twiy[j] = jnp.where(is_t, twty[j], twiy[j])
+                twiz[j] = jnp.where(is_t, twtz[j], twiz[j])
             fr = jnp.where(is_t, ar, fr)
             fg = jnp.where(is_t, ag, fg)
             fb = jnp.where(is_t, ab, fb)
@@ -470,27 +492,36 @@ def _cjvp_kernel(
         # throughput update: diffuse weight = pi*f = albedo (tangent-free
         # in the attached frame, cos == l_z); delta lobes weight = f*cos
         # with cos attached
+        step_ok = act & contrib_ok
         if spec_prims or trans_prims:
-            cos_wi = jnp.abs(_dot3(wix, wiy, wiz, nx, ny, nz))
-            sign_c = jnp.sign(_dot3(wix, wiy, wiz, nx, ny, nz))
-            dcos_wi = sign_c * (
-                _dot3(twix, twiy, twiz, nx, ny, nz)
-                + _dot3(wix, wiy, wiz, dnx, dny, dnz)
-            )
+            cos_dot = _dot3(wix, wiy, wiz, nx, ny, nz)
+            cos_wi = jnp.abs(cos_dot)
+            sign_c = jnp.sign(cos_dot)
             wgt = jnp.where(is_d, math.pi, cos_wi)
-            dwgt = jnp.where(is_d, 0.0, dcos_wi)
+            for j in range(T_):
+                dcos_wi = sign_c * (
+                    _dot3(twix[j], twiy[j], twiz[j], nx, ny, nz)
+                    + _dot3(wix, wiy, wiz, dnx[j], dny[j], dnz[j])
+                )
+                dwgt = jnp.where(is_d, 0.0, dcos_wi)
+                tTr[j] = jnp.where(step_ok,
+                                   tTr[j] * fr * wgt + Tr * fr * dwgt,
+                                   tTr[j])
+                tTg[j] = jnp.where(step_ok,
+                                   tTg[j] * fg * wgt + Tg * fg * dwgt,
+                                   tTg[j])
+                tTb[j] = jnp.where(step_ok,
+                                   tTb[j] * fb * wgt + Tb * fb * dwgt,
+                                   tTb[j])
         else:
             wgt = fzeros + math.pi
-            dwgt = fzeros
-        step_ok = act & contrib_ok
-        okf = step_ok.astype(jnp.float32)
-        tTr = jnp.where(step_ok, tTr * fr * wgt + Tr * fr * dwgt, tTr)
-        tTg = jnp.where(step_ok, tTg * fg * wgt + Tg * fg * dwgt, tTg)
-        tTb = jnp.where(step_ok, tTb * fb * wgt + Tb * fb * dwgt, tTb)
+            for j in range(T_):
+                tTr[j] = jnp.where(step_ok, tTr[j] * fr * wgt, tTr[j])
+                tTg[j] = jnp.where(step_ok, tTg[j] * fg * wgt, tTg[j])
+                tTb[j] = jnp.where(step_ok, tTb[j] * fb * wgt, tTb[j])
         Tr = jnp.where(step_ok, Tr * fr * wgt, Tr)
         Tg = jnp.where(step_ok, Tg * fg * wgt, Tg)
         Tb = jnp.where(step_ok, Tb * fb * wgt, Tb)
-        del okf
 
         # ---- RR (detached decision, detached boost factor)
         do_rr = bounce > rr_start
@@ -501,36 +532,42 @@ def _cjvp_kernel(
         Tr = jnp.where(boost, Tr * inv_p, Tr)
         Tg = jnp.where(boost, Tg * inv_p, Tg)
         Tb = jnp.where(boost, Tb * inv_p, Tb)
-        tTr = jnp.where(boost, tTr * inv_p, tTr)
-        tTg = jnp.where(boost, tTg * inv_p, tTg)
-        tTb = jnp.where(boost, tTb * inv_p, tTb)
+        for j in range(T_):
+            tTr[j] = jnp.where(boost, tTr[j] * inv_p, tTr[j])
+            tTg[j] = jnp.where(boost, tTg[j] * inv_p, tTg[j])
+            tTb[j] = jnp.where(boost, tTb[j] * inv_p, tTb[j])
 
         alive_next = step_ok & (survive | ~do_rr) & (bounce < max_bounces)
 
         died = alive & ~alive_next
         diedf = died.astype(jnp.float32)
         Lr = Lr + Cr * diedf; Lg = Lg + Cg * diedf; Lb = Lb + Cb * diedf
-        dLr = dLr + tCr * diedf
-        dLg = dLg + tCg * diedf
-        dLb = dLb + tCb * diedf
+        for j in range(T_):
+            dLr[j] = dLr[j] + tCr[j] * diedf
+            dLg[j] = dLg[j] + tCg[j] * diedf
+            dLb[j] = dLb[j] + tCb[j] * diedf
         n_samp = n_samp + died.astype(jnp.int32)
 
         ox = jnp.where(act, hx, ox); oy = jnp.where(act, hy, oy)
         oz = jnp.where(act, hz, oz)
         dx = jnp.where(act, wix, dx); dy = jnp.where(act, wiy, dy)
         dz = jnp.where(act, wiz, dz)
-        tox = jnp.where(act, dpx, tox); toy = jnp.where(act, dpy, toy)
-        toz = jnp.where(act, dpz, toz)
-        tdx = jnp.where(act, twix, tdx); tdy = jnp.where(act, twiy, tdy)
-        tdz = jnp.where(act, twiz, tdz)
+        for j in range(T_):
+            tox[j] = jnp.where(act, dpx[j], tox[j])
+            toy[j] = jnp.where(act, dpy[j], toy[j])
+            toz[j] = jnp.where(act, dpz[j], toz[j])
+            tdx[j] = jnp.where(act, twix[j], tdx[j])
+            tdy[j] = jnp.where(act, twiy[j], tdy[j])
+            tdz[j] = jnp.where(act, twiz[j], tdz[j])
         bounce = jnp.where(act, bounce + 1, bounce)
         alive = alive_next
 
     dom = in_domain.astype(jnp.float32)
     lr_o[:, :] = Lr * dom; lg_o[:, :] = Lg * dom; lb_o[:, :] = Lb * dom
-    dlr_o[:, :] = dLr * dom
-    dlg_o[:, :] = dLg * dom
-    dlb_o[:, :] = dLb * dom
+    for j in range(T_):
+        dl_os[3 * j + 0][:, :] = dLr[j] * dom
+        dl_os[3 * j + 1][:, :] = dLg[j] * dom
+        dl_os[3 * j + 2][:, :] = dLb[j] * dom
     ns_o[:, :] = n_samp
     nrays_o[tile, 0] = n_live
 
@@ -544,7 +581,7 @@ def _cjvp_kernel(
 def camera_jvp_call(
     scene: Scene,
     cam_packed: Array,  # (24,) f32
-    dcam: Array,  # (24,) f32 tangent of the packed camera
+    dcam: Array,  # (24,) or (T, 24) f32 packed-camera tangent(s)
     seed: Array,  # (2,) int32
     iteration: Array,
     *,
@@ -560,10 +597,10 @@ def camera_jvp_call(
     tile_offset: Array | int = 0,
     interpret: bool = False,
 ) -> tuple[Array, Array, Array, Array]:
-    """One persistent camera-JVP launch. Returns (L_sum (rows,LANES,3),
-    dL_sum (rows,LANES,3), n_samp, live_rays): per-pixel primal radiance
-    sums, their directional derivative along dcam, and completed-sample
-    counts."""
+    """One persistent camera-JVP launch, T tangents per walk. Returns
+    (L_sum (rows,LANES,3), dL_sum (T,rows,LANES,3), n_samp, live_rays):
+    per-pixel primal radiance sums, their directional derivatives along
+    each dcam row, and completed-sample counts."""
     if scene.mesh is not None:
         raise ValueError("camera-jvp kernel: sphere scenes only "
                          "(mesh camera gradients use the XLA path)")
@@ -571,6 +608,9 @@ def camera_jvp_call(
         if use_nee and ltype != 0:
             raise ValueError("camera-jvp kernel NEE supports point lights "
                              "only (area-light NEE uses the XLA path)")
+    if dcam.ndim == 1:
+        dcam = dcam[None, :]
+    n_tan = dcam.shape[0]
     prims = pack_prims(scene)
     n_prims = int(scene.num_prims)
     spec_prims = tuple(
@@ -590,7 +630,8 @@ def camera_jvp_call(
     n_draw = 2 + 3 + (3 if use_nee else 0)
     kernel = functools.partial(
         _cjvp_kernel,
-        rows=tile_rows, budget=budget, spp=spp, n_prims=n_prims,
+        rows=tile_rows, budget=budget, spp=spp, n_tan=n_tan,
+        n_prims=n_prims,
         emissive=tuple(scene.emissive_prims),
         spec_prims=spec_prims, trans_prims=trans_prims,
         lights_static=lights_static, use_nee=use_nee, strat_k=strat_k,
@@ -622,39 +663,39 @@ def camera_jvp_call(
             pl.BlockSpec(prims.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((24,), lambda i, *_: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((24,), lambda i, *_: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(dcam.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(lights_tab.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
             *rng_specs,
         ],
         out_specs=[
-            lane_spec, lane_spec, lane_spec,
-            lane_spec, lane_spec, lane_spec,
-            lane_spec,
+            *([lane_spec] * (3 + 3 * n_tan + 1)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
     )
     seed4 = jnp.stack(
         [seed[0], seed[1], jnp.int32(tile_offset), jnp.int32(iteration)]
     )
+    lane_f32 = jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+            *([lane_f32] * (3 + 3 * n_tan)),
             jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32),
             jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed4, prims, cam_packed, dcam, lights_tab, *rng_inputs)
-    lr, lg, lb, dlr, dlg, dlb, ns, nrays = outs
+    lr, lg, lb = outs[0:3]
+    dls = outs[3:3 + 3 * n_tan]
+    ns = outs[3 + 3 * n_tan]
+    nrays = outs[4 + 3 * n_tan]
     L = jnp.stack([lr, lg, lb], axis=-1)
-    dL = jnp.stack([dlr, dlg, dlb], axis=-1)
+    dL = jnp.stack(
+        [jnp.stack(dls[3 * j:3 * j + 3], axis=-1) for j in range(n_tan)]
+    )
     return L, dL, ns, jnp.sum(nrays)
 
 
@@ -676,11 +717,12 @@ def camera_weighted_grad(
     interpret: bool = False,
 ) -> tuple[Array, dict]:
     """sum(weights * image) and its gradient w.r.t. the named camera
-    fields, each via one tangent walk of the fused kernel (~forward-kernel
-    cost per scalar parameter). Returns (value, {name: grad_array}).
+    fields — ONE tangent-batched kernel walk per field (all of a field's
+    scalar components ride the same walk). Returns (value, {name: grad}).
 
     The camera enters through pack_camera: d(packed)/d(param) is a tiny
-    host-side jacfwd; the kernel propagates each packed-camera tangent."""
+    host-side jacfwd; the kernel propagates every packed-camera tangent
+    row alongside the shared primal."""
     w, h = camera.width, camera.height
     if budget is None:
         budget = spp * 4 + max_bounces
@@ -703,16 +745,16 @@ def camera_weighted_grad(
             )
 
         jac = jax.jacfwd(packed_of)(flat)  # (24, n)
+        L, dL, ns, _ = call(
+            scene, pack_camera(camera), jac.T, seed, it
+        )
+        nsafe = jnp.maximum(ns, 1).astype(jnp.float32)[..., None]
+        mean = (L / nsafe).reshape(-1, 3)[: w * h].reshape(h, w, 3)
+        if value is None:
+            value = jnp.sum(weights * mean)
         g = []
-        for j in range(flat.shape[0]):
-            L, dL, ns, _ = call(
-                scene, pack_camera(camera), jac[:, j], seed, it
-            )
-            nsafe = jnp.maximum(ns, 1).astype(jnp.float32)[..., None]
-            mean = (L / nsafe).reshape(-1, 3)[: w * h].reshape(h, w, 3)
-            dmean = (dL / nsafe).reshape(-1, 3)[: w * h].reshape(h, w, 3)
-            if value is None:
-                value = jnp.sum(weights * mean)
+        for jj in range(flat.shape[0]):
+            dmean = (dL[jj] / nsafe).reshape(-1, 3)[: w * h].reshape(h, w, 3)
             g.append(jnp.sum(weights * dmean))
         grads[name] = jnp.stack(g).reshape(jnp.shape(base))
     return value, grads
