@@ -491,6 +491,47 @@ def test_mesh_quad_tri_light_matches_xla():
     assert abs(img.mean() - ref.mean()) / ref.mean() < 0.06
 
 
+def test_sharded_mesh_bit_identical():
+    """Mesh scene (in-kernel BVH walk + TRI_LIGHT NEE) under shard_map ==
+    single-device kernel, bit for bit. The mesh tables ride replicated
+    (like the sphere/light tables); lane addressing and RNG are functions
+    of the GLOBAL tile id alone, so the walk is shard-invariant. Tiny
+    fixture (cornell_quad at 16x8, budget 3, 2 shards) — interpret-mode
+    mesh walks are expensive, and the full-size variant of this test
+    compiles for >25 min on CPU (docs/STATUS.md)."""
+    from tpu_pathtracer.parallel.mesh import make_mesh
+    from tpu_pathtracer.parallel.persistent_sharded import (
+        init_state_sharded, persistent_step_sharded,
+    )
+
+    scene, cs = sc.cornell_quad()
+    sp = sc.with_packet_mesh(scene)
+    w, h = 16, 8
+    camera = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], w, h,
+                            cs["fov"])
+    cp = pack_camera(camera)
+    seed = jnp.array([7, 13], jnp.int32)
+
+    st_ref = init_state(w, h, tile_rows=TR, tiles_multiple=2)
+    st_ref, nr_ref = persistent_step(
+        sp, cp, seed, st_ref, budget=3, width=w, height=h,
+        max_bounces=1, tile_rows=TR, use_nee=True, interpret=True,
+    )
+
+    mesh = make_mesh(jax.devices()[:2], n_tile=2, n_sample=1)
+    st_sh = init_state_sharded(w, h, mesh, tile_rows=TR)
+    st_sh, nr_sh = persistent_step_sharded(
+        sp, cp, seed, st_sh, mesh, budget=3, width=w, height=h,
+        max_bounces=1, tile_rows=TR, use_nee=True, interpret=True,
+    )
+    assert int(nr_ref) == int(nr_sh)
+    for f in ("lr", "lg", "lb", "n_samp", "tr", "bounce", "alive"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_ref, f)), np.asarray(getattr(st_sh, f)),
+            err_msg=f,
+        )
+
+
 def test_persistent_renderer_accepts_mesh_scene():
     """PersistentRenderer no longer raises on mesh scenes (it packs the
     mesh itself); textured scenes still route to the wavefront."""
