@@ -491,6 +491,52 @@ def test_mesh_quad_tri_light_matches_xla():
     assert abs(img.mean() - ref.mean()) / ref.mean() < 0.06
 
 
+def test_textured_mesh_matches_xla():
+    """In-kernel bilinear texture sampling (soft-two-hot MXU contraction)
+    matches the XLA wavefront's gather-based sampler. Direct point-light
+    NEE on a high-contrast checker floor is deterministic given the
+    primary ray, so the comparison is PER-PIXEL (jitter noise only), not
+    just in distribution — a wrong tap/weight shifts checker cells and
+    fails immediately."""
+    from tpu_pathtracer.models import meshes
+    from tpu_pathtracer.models.mesh import build_bvh
+
+    v, f, uv = meshes.quad([-10, 0, -10], [-10, 0, 10], [10, 0, 10],
+                           [10, 0, -10])  # ccw from above: normal +y
+    mesh = build_bvh(v, f, uv, 0)
+    tex = meshes.checker_texture(16, tiles=4, c0=(0.9, 0.15, 0.1),
+                                 c1=(0.05, 0.85, 0.9))
+    scene = sc.make_scene(
+        [], [sc.diffuse([1.0, 1.0, 1.0])],
+        [sc.point_light([0.0, 8.0, 0.0], [60.0, 60.0, 60.0])],
+        mesh=mesh, textures=tex, mat_texture=[0],
+    )
+    sp = sc.with_packet_mesh(scene)
+    w, h = 16, 12
+    camera = cm.make_camera([0, 14, 9], [0, 0, 0], [0, 1, 0], w, h, 60.0)
+    st = init_state(w, h, tile_rows=TR)
+    for i in range(6):
+        st, _ = persistent_step(
+            sp, pack_camera(camera), jnp.asarray([11 + i, 3], jnp.int32),
+            st, budget=6, width=w, height=h, max_bounces=1, tile_rows=TR,
+            use_nee=True, interpret=True,
+        )
+    img = np.asarray(state_image(st, w, h))
+    assert np.isfinite(img).all()
+    ref = np.asarray(render_image(
+        scene, camera, jax.random.key(41),
+        RenderConfig(spp=64, max_bounces=1, use_nee=True),
+    ))
+    # the checker must actually show: both texel colors reach the image
+    assert img[..., 0].max() > 2 * img[..., 0].min() + 0.05
+    assert img[..., 1].max() > 2 * img[..., 1].min() + 0.05
+    # per-pixel agreement (MC noise: sub-pixel jitter only)
+    mask = ref.max(axis=-1) > 1e-3
+    err = np.abs(img - ref).max(axis=-1)[mask]
+    assert np.median(err) < 0.03, np.median(err)
+    assert abs(img.mean() - ref.mean()) / ref.mean() < 0.03
+
+
 def test_sharded_mesh_bit_identical():
     """Mesh scene (in-kernel BVH walk + TRI_LIGHT NEE) under shard_map ==
     single-device kernel, bit for bit. The mesh tables ride replicated
@@ -533,10 +579,9 @@ def test_sharded_mesh_bit_identical():
 
 
 def test_persistent_renderer_accepts_mesh_scene():
-    """PersistentRenderer no longer raises on mesh scenes (it packs the
-    mesh itself); textured scenes still route to the wavefront."""
-    import pytest as _pytest
-
+    """PersistentRenderer handles mesh scenes (it packs the mesh itself)
+    AND textured scenes (in-kernel atlas sampling) — no wavefront
+    fallback remains."""
     from tpu_pathtracer.models.progressive import PersistentRenderer
 
     scene, cs = sc.cornell_boxes()
@@ -552,6 +597,8 @@ def test_persistent_renderer_accepts_mesh_scene():
     tscene, tcs = sc.terrain_textured(n=8)
     tcam = cm.make_camera(tcs["eye"], tcs["look_at"], tcs["up"], 8, 8,
                           tcs["fov"])
-    with _pytest.raises(ValueError, match="texture"):
-        PersistentRenderer(tscene, tcam, RenderConfig(spp=1, max_bounces=1),
-                           interpret=True)
+    tr = PersistentRenderer(tscene, tcam,
+                            RenderConfig(spp=1, max_bounces=1, use_nee=True),
+                            budget=4, tile_rows=TR, interpret=True)
+    assert tr.step() > 0
+    assert np.isfinite(np.asarray(tr.image())).all()

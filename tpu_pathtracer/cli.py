@@ -71,13 +71,6 @@ def cmd_render(args: argparse.Namespace) -> int:
     if backend == "pallas":
         from tpu_pathtracer.models.progressive import PersistentRenderer
 
-        if scene.textures is not None:
-            # the persistent kernel doesn't sample texture atlases
-            print("note: the pallas backend does not sample textures; "
-                  "falling back to the XLA wavefront (packet BVH kernel)",
-                  file=sys.stderr)
-            args.backend = "xla"
-            return cmd_render(args)
         # Persistent path-regeneration kernel: accumulation stays on-device
         # in the carried PathState (ops/pallas/persistent.py); --iterations
         # x --spp becomes the per-pixel completed-sample target.

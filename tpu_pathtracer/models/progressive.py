@@ -103,13 +103,9 @@ class PersistentRenderer:
         if scene.mesh is not None:
             # One render stack for ALL geometry (the reference's single
             # integrator over its PrimitiveList, scene.h:71-94): the
-            # kernel walks the packed BVH in-kernel. Textured materials
-            # stay wavefront-only (no in-kernel atlas sampling).
-            if scene.textures is not None:
-                raise ValueError(
-                    "the persistent kernel does not sample texture "
-                    "atlases; use ProgressiveRenderer for textured scenes"
-                )
+            # kernel walks the packed BVH in-kernel; textured materials
+            # sample the atlas in-kernel too (soft-two-hot MXU bilinear,
+            # ops/pallas/persistent.py).
             if scene.mesh_packed is None:
                 from tpu_pathtracer.models.scene import with_packet_mesh
 

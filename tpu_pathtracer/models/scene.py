@@ -88,6 +88,10 @@ class Scene:
     light_mats: tuple = flax.struct.field(pytree_node=False, default=())
     tri_light_counts: tuple = flax.struct.field(pytree_node=False,
                                                 default=())
+    # Static copy of mat_texture (per-material texture index, -1 = plain
+    # color) so kernels can specialize their texture dispatch at trace time.
+    mat_textures_static: tuple = flax.struct.field(pytree_node=False,
+                                                   default=())
 
     # Triangle mesh + BVH (None = sphere-only scene, the reference's world).
     # See models/mesh.py; fills primitive.h:26 / scene.h:33 TODOs.
@@ -363,6 +367,7 @@ def make_scene(
         mesh=mesh,
         textures=textures,
         mat_texture=jnp.asarray(mat_tex),
+        mat_textures_static=tuple(int(t) for t in mat_tex),
         light_mat=jnp.asarray(l_mat),
         **tri_tabs,
     )

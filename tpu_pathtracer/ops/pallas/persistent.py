@@ -41,6 +41,19 @@ Thin-lens DOF (the reference's TODO, camera.h:68) is compiled in when the
 camera uses it: lens-disk sampling via the polar map (same uniform-disk
 distribution as the XLA path's concentric map, different warping — images
 agree in distribution, not bit-for-bit).
+
+Mesh geometry traces in-kernel (threaded-DFS BVH walk over SMEM node
+tables + VMEM triangle rows), including TRI_LIGHT NEE — one render stack
+for ALL geometry, the reference's single integrator over its
+PrimitiveList (scene.h:71-94). Textured materials sample the atlas
+in-kernel too: TPU has no per-lane gather, so the bilinear tap is a SOFT
+TWO-HOT MXU CONTRACTION — a (K*TH, 128) row matrix carrying (1-fy, fy)
+at the two wrapped y-taps contracts with the (3*TW, K*TH) transposed
+atlas on the MXU, then a (TW, 128) column two-hot applies (1-fx, fx) and
+reduces over sublanes. Exactly two nonzero weights per one-hot gives
+full f32 bilinear filtering (same taps/weights as
+ops/texture.sample_bilinear) at a fixed matmul cost per sublane row —
+no gathers, no data-dependent layout.
 """
 from __future__ import annotations
 
@@ -175,10 +188,19 @@ def _persistent_kernel(
     leaf_rows: int = 1,
     mat_types: tuple = (),
     tri_lights_static: tuple = (),  # ((light_idx, mat_id, offset, K), ...)
+    # texture statics (tex=False leaves every texture block untraced)
+    tex: bool = False,
+    tex_k: int = 0,
+    tex_th: int = 0,
+    tex_tw: int = 0,
+    mat_tex: tuple = (),  # per-material texture id (-1 = untextured)
 ):
     if mesh:
         matm_ref, mbox_ref, mmeta_ref, tl_ref, mtris_ref = refs[:5]
         refs = refs[5:]
+    if tex:
+        texT_ref = refs[0]  # (3*TW, K*TH) f32 transposed atlas (VMEM)
+        refs = refs[1:]
     n_state = len(_STATE_FIELDS)
     state_in = refs[:n_state]
     rng_ref = refs[n_state] if external_rng else None
@@ -191,6 +213,13 @@ def _persistent_kernel(
     if mesh:
         (s_t, s_nx, s_ny, s_nz, s_m) = refs[n_in + n_state + 1:
                                             n_in + n_state + 6]
+    if tex:
+        # texture scratch: interpolated hit uv from the walk, the lane's
+        # bilinear tap indices/weights (read back per-sublane inside the
+        # sampling fori_loop), and the sampled texel
+        (s_u, s_v, s_i0, s_i1, s_i2, s_i3, s_w0, s_w1,
+         s_txr, s_txg, s_txb) = refs[n_in + n_state + 6:
+                                     n_in + n_state + 17]
     (lr_i, lg_i, lb_i, ns_i,
      ox_i, oy_i, oz_i, dx_i, dy_i, dz_i,
      tr_i, tg_i, tb_i, cr_i, cg_i, cb_i,
@@ -234,12 +263,16 @@ def _persistent_kernel(
         carries). Closest mode fills (s_t, normal, mat); occlusion mode
         zeroes s_t at the first intersected triangle."""
         ix, iy, iz = _safe_inv3(dx, dy, dz)
+        track_uv = tex and not occlusion
         s_t[:, :] = t_init
         if not occlusion:
             s_nx[:, :] = fzeros
             s_ny[:, :] = fzeros
             s_nz[:, :] = fzeros
             s_m[:, :] = jnp.zeros(shape, jnp.int32) - 1
+        if track_uv:
+            s_u[:, :] = fzeros
+            s_v[:, :] = fzeros
 
         def body(nn):
             t_cur = s_t[:, :]
@@ -277,6 +310,9 @@ def _persistent_kernel(
                     ny_b = s_ny[:, :]
                     nz_b = s_nz[:, :]
                     m_b = s_m[:, :]
+                if track_uv:
+                    u_b = s_u[:, :]
+                    v_b = s_v[:, :]
                 for j in range(leaf_rows * 8):
                     r = j // 8
                     c0 = (j % 8) * 16
@@ -317,12 +353,24 @@ def _persistent_kernel(
                     nz_b = jnp.where(valid, gnz, nz_b)
                     m_b = jnp.where(valid, trs[r, c0 + 9].astype(jnp.int32),
                                     m_b)
+                    if track_uv:
+                        # interpolated texture uv (slots 10-15: uv0, uv_e1,
+                        # uv_e2 — pack_mesh layout, mesh_kernel.py)
+                        uvx = (trs[r, c0 + 10] + uu * trs[r, c0 + 12]
+                               + vv * trs[r, c0 + 14])
+                        uvy = (trs[r, c0 + 11] + uu * trs[r, c0 + 13]
+                               + vv * trs[r, c0 + 15])
+                        u_b = jnp.where(valid, uvx, u_b)
+                        v_b = jnp.where(valid, uvy, v_b)
                 s_t[:, :] = t_best
                 if not occlusion:
                     s_nx[:, :] = nx_b
                     s_ny[:, :] = ny_b
                     s_nz[:, :] = nz_b
                     s_m[:, :] = m_b
+                if track_uv:
+                    s_u[:, :] = u_b
+                    s_v[:, :] = v_b
 
             descend = anyb & ~is_leaf
             return jnp.where(descend, nn + 1, skip)
@@ -443,6 +491,94 @@ def _persistent_kernel(
                 mt_b = mt_b | (mmat == mi)
         is_s = (is_s & ~mesh_closer) | (mesh_closer & ms)
         is_t = (is_t & ~mesh_closer) | (mesh_closer & mt_b)
+        if tex:
+            # ---- in-kernel bilinear texture sampling. TPU has no per-lane
+            # gather, so the bilinear tap is computed as a SOFT TWO-HOT MXU
+            # contraction: a (K*TH, 128) row matrix carrying (1-fy, fy) at
+            # the two wrapped y-taps contracts with the (3*TW, K*TH)
+            # transposed atlas (y interpolation on the MXU), then a
+            # (TW, 128) column two-hot carrying (1-fx, fx) multiplies in
+            # and reduces over sublanes (x interpolation on the VPU).
+            # Exactly two nonzero weights per one-hot => full f32 bilinear
+            # with no precision loss (same taps/weights as
+            # ops/texture.sample_bilinear, different association).
+            # Per-sublane (KTH,128)x(1,128) compares need the lane values
+            # readable by a traced sublane index, so taps/weights round-
+            # trip through VMEM scratch and a fori_loop samples one
+            # sublane row (128 lanes) per step.
+            texk = fzeros - 1.0
+            for mi, tid in enumerate(mat_tex):
+                if tid >= 0:
+                    texk = jnp.where(mesh_closer & (mmat == mi),
+                                     float(tid), texk)
+            has_tex = texk >= 0.0
+            u_raw = s_u[:, :]
+            v_raw = s_v[:, :]
+            u_w = u_raw - jnp.floor(u_raw)  # wrap to [0, 1)
+            v_w = v_raw - jnp.floor(v_raw)
+            x = u_w * tex_tw - 0.5
+            y = v_w * tex_th - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            fx = x - x0
+            fy = y - y0
+            c0 = x0 + jnp.where(x0 < 0.0, float(tex_tw), 0.0)
+            c1 = jnp.where(x0 + 1.0 >= tex_tw, x0 + 1.0 - tex_tw, x0 + 1.0)
+            base = texk * float(tex_th)
+            r0 = y0 + jnp.where(y0 < 0.0, float(tex_th), 0.0) + base
+            r1 = (jnp.where(y0 + 1.0 >= tex_th, y0 + 1.0 - tex_th, y0 + 1.0)
+                  + base)
+            # untextured lanes: indices -1 never match the iota, so their
+            # one-hot rows are all-zero and the texel comes out 0 (masked
+            # by has_tex below anyway)
+            r0 = jnp.where(has_tex, r0, -1.0)
+            r1 = jnp.where(has_tex, r1, -1.0)
+            n_tex = jnp.sum(has_tex.astype(jnp.int32))
+
+            @pl.when(n_tex > 0)
+            def _sample_texture():
+                # tap indices as int32 (Mosaic's iota is integer-only)
+                s_i0[:, :] = r0.astype(jnp.int32)
+                s_i1[:, :] = r1.astype(jnp.int32)
+                s_i2[:, :] = c0.astype(jnp.int32)
+                s_i3[:, :] = c1.astype(jnp.int32)
+                s_w0[:, :] = fy
+                s_w1[:, :] = fx
+                kth = tex_k * tex_th
+                iot_r = jax.lax.broadcasted_iota(
+                    jnp.int32, (kth, LANES), 0)
+                iot_c = jax.lax.broadcasted_iota(
+                    jnp.int32, (tex_tw, LANES), 0)
+
+                def tex_body(s, _):
+                    rr0 = s_i0[pl.ds(s, 1), :]
+                    rr1 = s_i1[pl.ds(s, 1), :]
+                    cc0 = s_i2[pl.ds(s, 1), :]
+                    cc1 = s_i3[pl.ds(s, 1), :]
+                    wy = s_w0[pl.ds(s, 1), :]
+                    wx = s_w1[pl.ds(s, 1), :]
+                    oh1 = (jnp.where(iot_r == rr0, 1.0 - wy, 0.0)
+                           + jnp.where(iot_r == rr1, wy, 0.0))
+                    m1 = jax.lax.dot_general(
+                        texT_ref[:, :], oh1,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (3*TW, 128): y-interpolated column profiles
+                    oh2 = (jnp.where(iot_c == cc0, 1.0 - wx, 0.0)
+                           + jnp.where(iot_c == cc1, wx, 0.0))
+                    for ch, ref in enumerate((s_txr, s_txg, s_txb)):
+                        sel = m1[ch * tex_tw:(ch + 1) * tex_tw, :] * oh2
+                        ref[pl.ds(s, 1), :] = jnp.sum(
+                            sel, axis=0, keepdims=True)
+                    return 0
+
+                jax.lax.fori_loop(0, rows, tex_body, 0)
+
+            # textured materials REPLACE their base color with the texel
+            # (wavefront semantics, ops/intersect.py _merge_mesh_hit)
+            ar = jnp.where(has_tex, s_txr[:, :], ar)
+            ag = jnp.where(has_tex, s_txg[:, :], ag)
+            ab = jnp.where(has_tex, s_txb[:, :], ab)
         # TRI_LIGHT emission: triangles of a tri light's material emit its
         # intensity (front side gated by one_sided downstream)
         er = jnp.where(mesh_closer, 0.0, er)
@@ -1025,11 +1161,6 @@ def persistent_step(
     mesh_specs = []
     mesh_statics = {}
     if has_mesh:
-        if scene.textures is not None:
-            raise ValueError(
-                "persistent kernel: textured mesh materials are not "
-                "supported in-kernel; use the wavefront renderer"
-            )
         pk = scene.mesh_packed
         if 36 * pk.num_nodes > 700_000:
             raise ValueError(
@@ -1081,6 +1212,22 @@ def persistent_step(
             mat_types=tuple(scene.mat_types),
             tri_lights_static=tuple(tls),
         )
+        if scene.textures is not None:
+            # transposed atlas for the in-kernel soft-two-hot sampler:
+            # texT[ch*TW + x, k*TH + y] = textures[k, y, x, ch]
+            K, TH, TW, _ = scene.textures.shape
+            texT = jnp.transpose(scene.textures, (3, 2, 0, 1)).reshape(
+                3 * TW, K * TH
+            )
+            mesh_inputs.append(texT)
+            mesh_specs.append(
+                pl.BlockSpec(texT.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            mesh_statics.update(
+                tex=True, tex_k=K, tex_th=TH, tex_tw=TW,
+                mat_tex=scene.mat_textures_static,
+            )
 
     external_rng = bool(interpret)
     kernel = functools.partial(
@@ -1146,6 +1293,13 @@ def persistent_step(
             pltpu.VMEM((tile_rows, LANES), jnp.float32),
             pltpu.VMEM((tile_rows, LANES), jnp.int32),
         ]
+        if scene.textures is not None:
+            # s_u s_v | tap rows/cols i0-i3 (int32) | weights | texel rgb
+            scratch_shapes += (
+                [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 2
+                + [pltpu.VMEM((tile_rows, LANES), jnp.int32)] * 4
+                + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
+            )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),

@@ -206,12 +206,10 @@ def run_viewer(
     from tpu_pathtracer.utils.metrics import RenderMeter
 
     if backend == "auto":
-        # the persistent kernel traces spheres AND meshes in-kernel;
-        # only textured materials stay on the XLA wavefront
+        # the persistent kernel traces spheres AND meshes in-kernel,
+        # including textured materials (in-kernel atlas sampling)
         backend = (
-            "pallas"
-            if scene.textures is None and jax.devices()[0].platform != "cpu"
-            else "xla"
+            "pallas" if jax.devices()[0].platform != "cpu" else "xla"
         )
     if backend == "pallas":
         # on CPU (forced backend, headless smoke tests) run the kernel
