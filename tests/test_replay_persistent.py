@@ -72,6 +72,7 @@ def _replica_loss_fn(scene, camera, target, seed, budget, use_nee,
     mids = scene.prim_material_ids
     n_prims = int(scene.num_prims)
     coefs = np.asarray(scene.mat_coef)
+    mat_types = tuple(scene.mat_types)
     mtypes = np.asarray(scene.prim_mtypes)
     centers = np.asarray(scene.centers)[:n_prims]
     radii = np.asarray(scene.radii)[:n_prims]
@@ -81,6 +82,81 @@ def _replica_loss_fn(scene, camera, target, seed, budget, use_nee,
     trans = tuple(i for i in range(n_prims) if mtypes[i] == 2)
     tmin = sc.EPSILON
     kk = strat_k * strat_k
+    # mesh: brute force over the PACKED slot table in slot order — the
+    # kernel's threaded-DFS walk visits leaves at monotonically increasing
+    # node ids, so its strict t-improvement updates see triangles in
+    # exactly this order (padding slots are all-zero -> det == 0 -> inert)
+    has_mesh = scene.mesh_packed is not None
+    if has_mesh:
+        slots = np.asarray(scene.mesh_packed.tri_rows).reshape(-1, 16)
+        tri_lights = []
+        for li, (ltype, _lp) in enumerate(lights_static):
+            if ltype == 2 and scene.tri_light_counts[li] > 0:
+                tri_lights.append((li, int(scene.light_mats[li]),
+                                   scene.tri_light_counts[li]))
+        tl_v0 = np.asarray(scene.tl_v0) if scene.tl_v0 is not None else None
+        tl_e1 = np.asarray(scene.tl_e1) if scene.tl_e1 is not None else None
+        tl_e2 = np.asarray(scene.tl_e2) if scene.tl_e2 is not None else None
+        tl_n = np.asarray(scene.tl_n) if scene.tl_n is not None else None
+        tl_cdf = (np.asarray(scene.tl_cdf) if scene.tl_cdf is not None
+                  else None)
+        tl_area = (np.asarray(scene.tl_area) if scene.tl_area is not None
+                   else None)
+
+    def mesh_brute(o, d, t0, z):
+        """(tm, n, mmat) closest mesh hit below t0, kernel op order."""
+        tm = t0
+        mnx = z; mny = z; mnz = z
+        mmat_l = jnp.zeros_like(z, dtype=jnp.int32) - 1
+        for k in range(slots.shape[0]):
+            s = slots[k]
+            px_ = d[1] * s[8] - d[2] * s[7]
+            py_ = d[2] * s[6] - d[0] * s[8]
+            pz_ = d[0] * s[7] - d[1] * s[6]
+            det = s[3] * px_ + s[4] * py_ + s[5] * pz_
+            ok = jnp.abs(det) > 1e-12
+            inv_det = 1.0 / jnp.where(ok, det, 1.0)
+            tvx = o[0] - s[0]
+            tvy = o[1] - s[1]
+            tvz = o[2] - s[2]
+            uu = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
+            qx = tvy * s[5] - tvz * s[4]
+            qy = tvz * s[3] - tvx * s[5]
+            qz = tvx * s[4] - tvy * s[3]
+            vv = (d[0] * qx + d[1] * qy + d[2] * qz) * inv_det
+            tt = (s[6] * qx + s[7] * qy + s[8] * qz) * inv_det
+            valid = (ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                     & (tt > tmin) & (tt < tm))
+            tm = jnp.where(valid, tt, tm)
+            gn = np.cross(s[3:6], s[6:9])
+            mnx = jnp.where(valid, float(gn[0]), mnx)
+            mny = jnp.where(valid, float(gn[1]), mny)
+            mnz = jnp.where(valid, float(gn[2]), mnz)
+            mmat_l = jnp.where(valid, int(s[9]), mmat_l)
+        return tm, (mnx, mny, mnz), mmat_l
+
+    def mesh_occluded(h, wl, smax, z):
+        occ = jnp.zeros_like(z, dtype=bool)
+        for k in range(slots.shape[0]):
+            s = slots[k]
+            px_ = wl[1] * s[8] - wl[2] * s[7]
+            py_ = wl[2] * s[6] - wl[0] * s[8]
+            pz_ = wl[0] * s[7] - wl[1] * s[6]
+            det = s[3] * px_ + s[4] * py_ + s[5] * pz_
+            ok = jnp.abs(det) > 1e-12
+            inv_det = 1.0 / jnp.where(ok, det, 1.0)
+            tvx = h[0] - s[0]
+            tvy = h[1] - s[1]
+            tvz = h[2] - s[2]
+            uu = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
+            qx = tvy * s[5] - tvz * s[4]
+            qy = tvz * s[3] - tvx * s[5]
+            qz = tvx * s[4] - tvy * s[3]
+            vv = (wl[0] * qx + wl[1] * qy + wl[2] * qz) * inv_det
+            tt = (s[6] * qx + s[7] * qy + s[8] * qz) * inv_det
+            occ = occ | (ok & (uu >= 0.0) & (vv >= 0.0)
+                         & (uu + vv <= 1.0) & (tt > tmin) & (tt < smax))
+        return occ
 
     def dot3(ax, ay, az, bx, by, bz):
         return ax * bx + ay * by + az * bz
@@ -181,7 +257,55 @@ def _replica_loss_fn(scene, camera, target, seed, budget, use_nee,
             is_t = jnp.zeros(n_lanes_tot, bool)
             for p in trans:
                 is_t = is_t | (best_p == p)
+            mesh_closer = jnp.zeros(n_lanes_tot, bool)
+            tm = z + BIG
+            mmat = jnp.zeros(n_lanes_tot, jnp.int32) - 1
+            if has_mesh:
+                t_init = jnp.where(alive, best_t, 0.0)
+                tm, (mnx, mny, mnz), mmat = mesh_brute(
+                    o, d, sg(t_init), z)
+                tm = sg(tm)
+                mesh_closer = alive & (tm < best_t) & (tm < (0.5 * BIG))
+                inv_len = jax.lax.rsqrt(jnp.maximum(
+                    mnx * mnx + mny * mny + mnz * mnz, 1e-20))
+                hit = hit | mesh_closer
+                hx = jnp.where(mesh_closer, o[0] + d[0] * tm, hx)
+                hy = jnp.where(mesh_closer, o[1] + d[1] * tm, hy)
+                hz = jnp.where(mesh_closer, o[2] + d[2] * tm, hz)
+                nx = jnp.where(mesh_closer, mnx * inv_len, nx)
+                ny = jnp.where(mesh_closer, mny * inv_len, ny)
+                nz = jnp.where(mesh_closer, mnz * inv_len, nz)
+                best_p = jnp.where(mesh_closer, -1, best_p)
+                for mi, mt_v in enumerate(mat_types):
+                    m_mask = mesh_closer & (mmat == mi)
+                    ar = jnp.where(m_mask, mat_color[mi][0], ar)
+                    ag = jnp.where(m_mask, mat_color[mi][1], ag)
+                    ab = jnp.where(m_mask, mat_color[mi][2], ab)
+                    if mt_v in (1, 2):
+                        coef = jnp.where(m_mask, float(coefs[mi]), coef)
+                ms_ = jnp.zeros(n_lanes_tot, bool)
+                mt_ = jnp.zeros(n_lanes_tot, bool)
+                for mi, mt_v in enumerate(mat_types):
+                    if mt_v == 1:
+                        ms_ = ms_ | (mmat == mi)
+                    elif mt_v == 2:
+                        mt_ = mt_ | (mmat == mi)
+                is_s = (is_s & ~mesh_closer) | (mesh_closer & ms_)
+                is_t = (is_t & ~mesh_closer) | (mesh_closer & mt_)
+                er = jnp.where(mesh_closer, 0.0, er)
+                eg = jnp.where(mesh_closer, 0.0, eg)
+                eb = jnp.where(mesh_closer, 0.0, eb)
+                for (li, lmat, _K) in tri_lights:
+                    m_mask = mesh_closer & (mmat == lmat)
+                    er = jnp.where(m_mask, light_intensity[li][0], er)
+                    eg = jnp.where(m_mask, light_intensity[li][1], eg)
+                    eb = jnp.where(m_mask, light_intensity[li][2], eb)
             act = alive & hit
+            if has_mesh:
+                actf_p = act.astype(jnp.float32)
+                hx = hx * actf_p
+                hy = hy * actf_p
+                hz = hz * actf_p
             wox, woy, woz = d
 
             one_sided = dot3(nx, ny, nz, -wox, -woy, -woz) > 0.0
@@ -203,6 +327,15 @@ def _replica_loss_fn(scene, camera, target, seed, budget, use_nee,
                                                            1e-12))
                     pc = jnp.where(d2l > rl * rl, pc, 0.0)
                     ldp = jnp.where(best_p == lprim, pc * ltab[li, 7], ldp)
+                if has_mesh:
+                    for (li, lmat, _K) in tri_lights:
+                        m = mesh_closer & (mmat == lmat)
+                        cos_l = jnp.abs(dot3(nx, ny, nz, wox, woy, woz))
+                        tt_c = jnp.minimum(tm, 1e6)
+                        pc = (tt_c * tt_c / jnp.maximum(cos_l, 1e-9)
+                              * (float(ltab[li, 7])
+                                 / max(float(tl_area[li]), 1e-20)))
+                        ldp = jnp.where(m, pc, ldp)
                 pp2 = sg(prev_pdf * prev_pdf)
                 ldp = sg(ldp)
                 w_emit = jnp.where(
@@ -269,6 +402,57 @@ def _replica_loss_fn(scene, camera, target, seed, budget, use_nee,
                         dist_l = thit
                         rad = (I_l[0] + z, I_l[1] + z, I_l[2] + z)
                         is_delta = False
+                    elif ltype == 2:  # TRI_LIGHT (kernel's cdf-hi chain)
+                        K = 0
+                        for (tli, _lm, tK) in tri_lights:
+                            if tli == li:
+                                K = tK
+                        tlf = lambda r_, k_: (
+                            float(tl_v0[li, r_, k_]) if k_ < 3
+                            else float(tl_e1[li, r_, k_ - 3]) if k_ < 6
+                            else float(tl_e2[li, r_, k_ - 6]) if k_ < 9
+                            else float(tl_n[li, r_, k_ - 9]) if k_ < 12
+                            else float(tl_cdf[li, r_])
+                        )
+                        attrs0 = [tlf(0, k_) + z for k_ in range(12)]
+                        c_lo = z
+                        c_hi = z + tlf(0, 12)
+                        for k in range(1, K):
+                            m_k = ul1 > tlf(k - 1, 12)
+                            attrs0 = [
+                                jnp.where(m_k, tlf(k, k_), a)
+                                for k_, a in enumerate(attrs0)
+                            ]
+                            c_lo = jnp.where(m_k, tlf(k - 1, 12), c_lo)
+                            c_hi = jnp.where(m_k, tlf(k, 12), c_hi)
+                        (v0x, v0y, v0z, e1x_, e1y_, e1z_,
+                         e2x_, e2y_, e2z_, nlx, nly, nlz) = attrs0
+                        u0r = jnp.clip(
+                            (ul1 - c_lo) / jnp.maximum(c_hi - c_lo, 1e-12),
+                            0.0, 1.0)
+                        su = jnp.sqrt(u0r)
+                        b1s = 1.0 - su
+                        b2s = ul2 * su
+                        psx = v0x + b1s * e1x_ + b2s * e2x_
+                        psy = v0y + b1s * e1y_ + b2s * e2y_
+                        psz = v0z + b1s * e1z_ + b2s * e2z_
+                        wrx = psx - hx
+                        wry = psy - hy
+                        wrz = psz - hz
+                        d2l = dot3(wrx, wry, wrz, wrx, wry, wrz)
+                        inv_dl = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
+                        dist_l = d2l * inv_dl
+                        wlx = wrx * inv_dl
+                        wly = wry * inv_dl
+                        wlz = wrz * inv_dl
+                        cos_at = -dot3(nlx, nly, nlz, wlx, wly, wlz)
+                        front = cos_at > 0.0
+                        area_l = float(tl_area[li])
+                        pdf_l = sel * d2l / jnp.maximum(
+                            jnp.abs(cos_at) * max(area_l, 1e-20), 1e-12)
+                        valid = front & (dist_l > tmin)
+                        rad = (I_l[0] + z, I_l[1] + z, I_l[2] + z)
+                        is_delta = False
                     else:
                         wrx = ltab[li, 0] - hx
                         wry = ltab[li, 1] - hy
@@ -298,6 +482,11 @@ def _replica_loss_fn(scene, camera, target, seed, budget, use_nee,
                         rt = jnp.where(rb - rsq > tmin, rb - rsq, rb + rsq)
                         occ = occ | ((rdet >= 0.0) & (rt > tmin)
                                      & (rt < smax))
+                    if has_mesh:
+                        started = (act & m_l & valid & ~occ
+                                   & (smax > 0.0))
+                        occ = occ | (started & mesh_occluded(
+                            (hx, hy, hz), (wlx, wly, wlz), sg(smax), z))
                     cos_l = dot3(wlx, wly, wlz, nx, ny, nz)
                     support = (cos_l > 0.0) & (
                         dot3(wox, woy, woz, wlx, wly, wlz) < 0.0
@@ -474,6 +663,98 @@ def test_grads_match_replica_autodiff(cornell, nee):
     )
     assert np.abs(np.asarray(grads_k["mat_color"])).max() > 0
     assert np.abs(np.asarray(grads_k["light_intensity"])).max() > 0
+
+
+@pytest.fixture(scope="module")
+def quad_scene():
+    scene, cs = sc.cornell_quad()
+    scene = sc.with_packet_mesh(scene)
+    camera = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], W, H,
+                            cs["fov"])
+    return scene, camera
+
+
+@pytest.fixture(scope="module")
+def boxes_scene():
+    scene, cs = sc.cornell_boxes()
+    scene = sc.with_packet_mesh(scene)
+    camera = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], W, H,
+                            cs["fov"])
+    return scene, camera
+
+
+MBUDGET = 6  # the mesh replica's jitted grad graph compiles ~40x slower
+# per budget step than the sphere one (per-slot MT unrolls); budget 6
+# still regenerates/completes 1000+ paths at this size
+
+
+@pytest.mark.parametrize("nee", [True])
+def test_mesh_grads_match_replica_autodiff(quad_scene, nee):
+    """MESH-scene gradients through the fused kernel's in-kernel BVH walk
+    (pure-mesh cornell_quad, TRI_LIGHT NEE + tri-emitter MIS) == jax.grad
+    of the schedule replica on the SAME uniforms — the mesh analogue of
+    test_grads_match_replica_autodiff (mesh-material adjoints ride the
+    same streaming identity)."""
+    scene, camera = quad_scene
+    seed = jnp.asarray([6, 13], jnp.int32)
+    rng = np.random.default_rng(9)
+    target = jnp.asarray(rng.random((H, W, 3), np.float32))
+
+    loss_k, grads_k, nrays = persistent_mse_value_and_grad(
+        scene, camera, seed, 0, target, spp=SPP, budget=MBUDGET,
+        max_bounces=MB, rr_start=RRS, tile_rows=TR, use_nee=nee,
+        interpret=True,
+    )
+    assert int(nrays) > 0
+
+    loss_fn = _replica_loss_fn(scene, camera, target, (6, 13), MBUDGET, nee)
+    loss_r, (gA_r, gI_r) = jax.jit(
+        jax.value_and_grad(loss_fn, argnums=(0, 1))
+    )(scene.mat_color, scene.light_intensity)
+
+    np.testing.assert_allclose(float(loss_k), float(loss_r), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(grads_k["mat_color"]), np.asarray(gA_r),
+        rtol=2e-3, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads_k["light_intensity"])[: gI_r.shape[0]],
+        np.asarray(gI_r), rtol=2e-3, atol=1e-7,
+    )
+    assert np.abs(np.asarray(grads_k["mat_color"])).max() > 0
+    assert np.abs(np.asarray(grads_k["light_intensity"])).max() > 0
+
+
+def test_mixed_sphere_mesh_grads_match_replica(boxes_scene):
+    """Mixed geometry (mesh walls/boxes + SPHERE emitter): the merge
+    (mesh_closer vs sphere winner, bp = -1 on mesh lanes) keeps both
+    material and light adjoints exact vs the replica."""
+    scene, camera = boxes_scene
+    seed = jnp.asarray([8, 3], jnp.int32)
+    rng = np.random.default_rng(11)
+    target = jnp.asarray(rng.random((H, W, 3), np.float32))
+
+    loss_k, grads_k, nrays = persistent_mse_value_and_grad(
+        scene, camera, seed, 0, target, spp=SPP, budget=MBUDGET,
+        max_bounces=MB, rr_start=RRS, tile_rows=TR, use_nee=True,
+        interpret=True,
+    )
+    assert int(nrays) > 0
+
+    loss_fn = _replica_loss_fn(scene, camera, target, (8, 3), MBUDGET, True)
+    loss_r, (gA_r, gI_r) = jax.jit(
+        jax.value_and_grad(loss_fn, argnums=(0, 1))
+    )(scene.mat_color, scene.light_intensity)
+
+    np.testing.assert_allclose(float(loss_k), float(loss_r), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(grads_k["mat_color"]), np.asarray(gA_r),
+        rtol=2e-3, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads_k["light_intensity"])[: gI_r.shape[0]],
+        np.asarray(gI_r), rtol=2e-3, atol=1e-7,
+    )
 
 
 def test_sample_guarantee_and_loss_consistency(cornell):

@@ -213,6 +213,11 @@ def kernel_loss_and_grads(
             target_to_lanes,
         )
 
+        if scene.mesh is not None and scene.mesh_packed is None:
+            raise ValueError(
+                "engine='persistent' walks the packed mesh in-kernel: "
+                "pack it first with models.scene.with_packet_mesh(scene)"
+            )
         tr = 32 if tile_rows is None else tile_rows
         rows_total, _ = pixel_lanes_layout(w, h, tr, tiles_multiple=n_dev)
         aux = target_to_lanes(target, rows_total)
@@ -261,6 +266,12 @@ def kernel_loss_and_grads(
         from tpu_pathtracer.ops.pallas.replay_kernel import (
             broadcast_pixels_to_lanes, lanes_layout, replay_call,
         )
+
+        if scene.mesh is not None:
+            raise ValueError(
+                "engine='sample' does not trace mesh geometry; use "
+                "engine='persistent' (in-kernel BVH walk) for mesh scenes"
+            )
 
         tr = 16 if tile_rows is None else tile_rows
         rows_total, _ = lanes_layout(w, h, spp, tr, tiles_multiple=n_dev)

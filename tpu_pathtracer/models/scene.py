@@ -92,6 +92,11 @@ class Scene:
     # color) so kernels can specialize their texture dispatch at trace time.
     mat_textures_static: tuple = flax.struct.field(pytree_node=False,
                                                    default=())
+    # Static set of material ids used by mesh triangles — kernels routing
+    # per-material adjoints unroll their mask chains over these (the mesh
+    # analogue of prim_material_ids).
+    mesh_mats_static: tuple = flax.struct.field(pytree_node=False,
+                                                default=())
 
     # Triangle mesh + BVH (None = sphere-only scene, the reference's world).
     # See models/mesh.py; fills primitive.h:26 / scene.h:33 TODOs.
@@ -368,6 +373,11 @@ def make_scene(
         textures=textures,
         mat_texture=jnp.asarray(mat_tex),
         mat_textures_static=tuple(int(t) for t in mat_tex),
+        mesh_mats_static=(
+            tuple(sorted(int(m) for m in
+                         np.unique(np.asarray(mesh.material_id))))
+            if mesh is not None else ()
+        ),
         light_mat=jnp.asarray(l_mat),
         **tri_tabs,
     )

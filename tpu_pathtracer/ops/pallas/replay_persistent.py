@@ -58,6 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_pathtracer.models.scene import (
     SPECULAR, TRANSMISSIVE, EPSILON, Scene,
 )
+from tpu_pathtracer.ops.pallas._walk import make_mesh_walk
 from tpu_pathtracer.ops.pallas.trace_kernel import (
     LANES, BIG, INV_PI,
     _dot3, _normalize3, _rand, _seed_streams,
@@ -93,14 +94,28 @@ def _preplay_kernel(
     n_lanes: int,
     inv_loss_n: float,
     external_rng: bool,
+    # mesh statics (mesh=False leaves every mesh block untraced);
+    # mesh_mats = material ids used by mesh triangles (adjoint routing)
+    mesh: bool = False,
+    mesh_nodes: int = 0,
+    leaf_rows: int = 1,
+    mat_types: tuple = (),
+    tri_lights_static: tuple = (),  # ((light_idx, mat_id, offset, K), ...)
+    mesh_mats: tuple = (),
 ):
-    # refs: [tr_, tg_, tb_ target lanes], [rng?], then outputs
-    #       [lr_o, lg_o, lb_o, ns_o, part_o, loss_o, nrays_o]
+    # refs: [mesh refs?], [tr_, tg_, tb_ target lanes], [rng?], then
+    # outputs [lr_o, lg_o, lb_o, ns_o, part_o, loss_o, nrays_o], then
+    # iff mesh the five VMEM walk scratch tiles.
+    if mesh:
+        matm_ref, mbox_ref, mmeta_ref, tl_ref, mtris_ref = refs[:5]
+        refs = refs[5:]
     tr_i, tg_i, tb_i = refs[0], refs[1], refs[2]
     idx = 3
     rng_ref = refs[idx] if external_rng else None
     idx += 1 if external_rng else 0
     lr_o, lg_o, lb_o, ns_o, part_o, loss_o, nrays_o = refs[idx:idx + 7]
+    if mesh:
+        walk_scratch = refs[idx + 7:idx + 12]
 
     n_lights = len(lights_static)
     tile = pl.program_id(0)
@@ -121,8 +136,19 @@ def _preplay_kernel(
         jnp.int32(0),
     )
 
-    def intersect(ox, oy, oz, dx, dy, dz):
-        """Unrolled closest-hit over the sphere scene (scene.h:71-94)."""
+    if mesh:
+        mesh_walk = make_mesh_walk(
+            mbox_ref, mmeta_ref, mtris_ref, walk_scratch,
+            shape=shape, tmin=tmin, mesh_nodes=mesh_nodes,
+            leaf_rows=leaf_rows,
+        )
+        s_t, s_nx, s_ny, s_nz, s_m = walk_scratch
+
+    def intersect(ox, oy, oz, dx, dy, dz, alive_m):
+        """Unrolled closest-hit over the sphere scene (scene.h:71-94),
+        merged with the in-kernel BVH walk for mesh geometry (the same
+        structure as persistent.py's intersect; best_p carries the
+        sphere winner, -1 on mesh-won lanes so no sphere mask fires)."""
         best_t = fzeros + BIG
         best_p = jnp.zeros(shape, jnp.int32)
         for p in range(n_prims):
@@ -168,8 +194,63 @@ def _preplay_kernel(
         is_t = jnp.zeros(shape, jnp.bool_)
         for p in trans_prims:
             is_t = is_t | (best_p == p)
+
+        if not mesh:
+            mesh_closer = jnp.zeros(shape, jnp.bool_)
+            tm = fzeros + BIG
+            mmat = jnp.zeros(shape, jnp.int32) - 1
+            return (hit, best_p, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef,
+                    is_s, is_t, er, eg, eb, mesh_closer, tm, mmat)
+
+        # ---- mesh closest-hit walk, pruned from the sphere-pass t
+        t_init = jnp.where(alive_m, best_t, 0.0)
+        mesh_walk(ox, oy, oz, dx, dy, dz, t_init, occlusion=False)
+        tm = s_t[:, :]
+        mesh_closer = alive_m & (tm < best_t) & (tm < (0.5 * BIG))
+        mmat = s_m[:, :]
+        mnx, mny, mnz = s_nx[:, :], s_ny[:, :], s_nz[:, :]
+        inv_len = jax.lax.rsqrt(
+            jnp.maximum(mnx * mnx + mny * mny + mnz * mnz, 1e-20)
+        )
+        hit = hit | mesh_closer
+        hx = jnp.where(mesh_closer, ox + dx * tm, hx)
+        hy = jnp.where(mesh_closer, oy + dy * tm, hy)
+        hz = jnp.where(mesh_closer, oz + dz * tm, hz)
+        nx = jnp.where(mesh_closer, mnx * inv_len, nx)
+        ny = jnp.where(mesh_closer, mny * inv_len, ny)
+        nz = jnp.where(mesh_closer, mnz * inv_len, nz)
+        # sphere winner id must not fire on mesh-won lanes (emitter-hit
+        # MIS pdfs, cI routing, and the material adjoint masks key on it)
+        best_p = jnp.where(mesh_closer, -1, best_p)
+        # material dispatch over the (static) material table
+        for mi, mt_v in enumerate(mat_types):
+            m_mask = mesh_closer & (mmat == mi)
+            ar = jnp.where(m_mask, matm_ref[mi, 0], ar)
+            ag = jnp.where(m_mask, matm_ref[mi, 1], ag)
+            ab = jnp.where(m_mask, matm_ref[mi, 2], ab)
+            if mt_v in (SPECULAR, TRANSMISSIVE):
+                coef = jnp.where(m_mask, matm_ref[mi, 3], coef)
+        ms = jnp.zeros(shape, jnp.bool_)
+        mt_b = jnp.zeros(shape, jnp.bool_)
+        for mi, mt_v in enumerate(mat_types):
+            if mt_v == SPECULAR:
+                ms = ms | (mmat == mi)
+            elif mt_v == TRANSMISSIVE:
+                mt_b = mt_b | (mmat == mi)
+        is_s = (is_s & ~mesh_closer) | (mesh_closer & ms)
+        is_t = (is_t & ~mesh_closer) | (mesh_closer & mt_b)
+        # TRI_LIGHT emission: triangles of a tri light's material emit
+        # its intensity (front side gated by one_sided downstream)
+        er = jnp.where(mesh_closer, 0.0, er)
+        eg = jnp.where(mesh_closer, 0.0, eg)
+        eb = jnp.where(mesh_closer, 0.0, eb)
+        for (li, lmat, _off, _K) in tri_lights_static:
+            m_mask = mesh_closer & (mmat == lmat)
+            er = jnp.where(m_mask, lights_ref[li, 3], er)
+            eg = jnp.where(m_mask, lights_ref[li, 4], eg)
+            eb = jnp.where(m_mask, lights_ref[li, 5], eb)
         return (hit, best_p, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef,
-                is_s, is_t, er, eg, eb)
+                is_s, is_t, er, eg, eb, mesh_closer, tm, mmat)
 
     # ---- walk state (all VMEM-resident for the whole launch)
     Lr = fzeros; Lg = fzeros; Lb = fzeros  # per-pixel completed-path sums
@@ -283,8 +364,19 @@ def _preplay_kernel(
 
         # ---- trace the pending segment
         (hit, bp, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, is_s, is_t,
-         er, eg, eb) = intersect(ox, oy, oz, dx, dy, dz)
+         er, eg, eb, mesh_closer, tm, mmat) = intersect(
+            ox, oy, oz, dx, dy, dz, alive)
         act = alive & hit
+        if mesh:
+            # Park non-acting lanes on the origin: a miss lane's hit
+            # point is o + d*BIG ~ 1e30, whose square overflows f32 in
+            # the vectorized NEE distance math (persistent.py has the
+            # same guard; sphere-only reference scenes are closed, so
+            # the unguarded form never fired there).
+            actf_p = act.astype(jnp.float32)
+            hx = hx * actf_p
+            hy = hy * actf_p
+            hz = hz * actf_p
         wox, woy, woz = dx, dy, dz
 
         # ---- emitter-hit term (+ MIS weight in NEE mode)
@@ -306,6 +398,16 @@ def _preplay_kernel(
                 pc = 1.0 / (2.0 * math.pi * jnp.maximum(1.0 - ctm, 1e-12))
                 pc = jnp.where(d2l > rl * rl, pc, 0.0)
                 ldp = jnp.where(m, pc * lights_ref[li, 7], ldp)
+            for (li, lmat, off, _K) in tri_lights_static:
+                # TRI_LIGHT emitter hits: light-sampler solid-angle pdf
+                # t^2/cos_l * sel/area (models/integrator.py's lp_tri)
+                m = mesh_closer & (mmat == lmat)
+                cos_l = jnp.abs(_dot3(nx, ny, nz, wox, woy, woz))
+                tt_c = jnp.minimum(tm, 1e6)
+                pc = (tt_c * tt_c / jnp.maximum(cos_l, 1e-9)
+                      * (lights_ref[li, 7] / jnp.maximum(tl_ref[off, 13],
+                                                         1e-20)))
+                ldp = jnp.where(m, pc, ldp)
             pp2 = prev_pdf * prev_pdf
             w_emit = jnp.where(
                 prev_delta, 1.0, pp2 / jnp.maximum(pp2 + ldp * ldp, 1e-20)
@@ -319,6 +421,12 @@ def _preplay_kernel(
             if ltype != 1 or lprim < 0:
                 continue
             m = (bp == lprim).astype(jnp.float32)
+            cI[li][0] += e_r * m
+            cI[li][1] += e_g * m
+            cI[li][2] += e_b * m
+        for (li, lmat, _off, _K) in tri_lights_static:
+            # tri-emitter hits credit their light's intensity adjoint
+            m = (mesh_closer & (mmat == lmat)).astype(jnp.float32)
             cI[li][0] += e_r * m
             cI[li][1] += e_g * m
             cI[li][2] += e_b * m
@@ -380,6 +488,54 @@ def _preplay_kernel(
                     dist_l = thit
                     rad_r, rad_g, rad_b = ir_l, ig_l, ib_l
                     is_delta = False
+                elif ltype == 2:  # TRI_LIGHT (ops/lights._sample_tri_light)
+                    off, K = None, 0
+                    for (tli, _lm, toff, tK) in tri_lights_static:
+                        if tli == li:
+                            off, K = toff, tK
+                    # area-weighted triangle choice via the cdf-hi chain
+                    tl = lambda r_, k_: tl_ref[off + r_, k_]
+                    attrs0 = [tl(0, k_) + fzeros for k_ in range(12)]
+                    c_lo = fzeros
+                    c_hi = fzeros + tl(0, 12)
+                    for k in range(1, K):
+                        m_k = ul1 > tl(k - 1, 12)
+                        attrs0 = [
+                            jnp.where(m_k, tl(k, k_), a)
+                            for k_, a in enumerate(attrs0)
+                        ]
+                        c_lo = jnp.where(m_k, tl(k - 1, 12), c_lo)
+                        c_hi = jnp.where(m_k, tl(k, 12), c_hi)
+                    (v0x, v0y, v0z, e1x_, e1y_, e1z_, e2x_, e2y_, e2z_,
+                     nlx, nly, nlz) = attrs0
+                    u0r = jnp.clip(
+                        (ul1 - c_lo) / jnp.maximum(c_hi - c_lo, 1e-12),
+                        0.0, 1.0,
+                    )
+                    su = jnp.sqrt(u0r)
+                    b1s = 1.0 - su
+                    b2s = ul2 * su
+                    psx = v0x + b1s * e1x_ + b2s * e2x_
+                    psy = v0y + b1s * e1y_ + b2s * e2y_
+                    psz = v0z + b1s * e1z_ + b2s * e2z_
+                    wrx = psx - hx
+                    wry = psy - hy
+                    wrz = psz - hz
+                    d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
+                    inv_dl = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
+                    dist_l = d2l * inv_dl
+                    wlx = wrx * inv_dl
+                    wly = wry * inv_dl
+                    wlz = wrz * inv_dl
+                    cos_at = -_dot3(nlx, nly, nlz, wlx, wly, wlz)
+                    front = cos_at > 0.0
+                    area_l = tl_ref[off, 13]
+                    pdf_l = sel * d2l / jnp.maximum(
+                        jnp.abs(cos_at) * jnp.maximum(area_l, 1e-20), 1e-12
+                    )
+                    valid = front & (dist_l > tmin)
+                    rad_r, rad_g, rad_b = ir_l, ig_l, ib_l
+                    is_delta = False
                 else:  # point light (scene.h:153-158)
                     wrx = lights_ref[li, 0] - hx
                     wry = lights_ref[li, 1] - hy
@@ -417,6 +573,15 @@ def _preplay_kernel(
                     rsq = jnp.sqrt(jnp.maximum(rdet, 0.0))
                     rt = jnp.where(rb - rsq > tmin, rb - rsq, rb + rsq)
                     occ = occ | ((rdet >= 0.0) & (rt > tmin) & (rt < smax))
+                if mesh:
+                    # mesh any-hit: first occluding triangle zeroes the
+                    # lane's walk t; lanes already dead/occluded/invalid
+                    # start at 0 and do no box work
+                    started = act & m_l & valid & ~occ & (smax > 0.0)
+                    mesh_walk(hx, hy, hz, wlx, wly, wlz,
+                              jnp.where(started, smax, 0.0),
+                              occlusion=True)
+                    occ = occ | (started & (s_t[:, :] == 0.0))
                 cos_l = _dot3(wlx, wly, wlz, nx, ny, nz)
                 support = (cos_l > 0.0) & (
                     _dot3(wox, woy, woz, wlx, wly, wlz) < 0.0
@@ -528,15 +693,20 @@ def _preplay_kernel(
         contrib_ok = ~f_black & (pdf > 0.0)
         step_ok = act & contrib_ok
 
-        # ---- streaming adjoint: per-path material accumulators
+        # ---- streaming adjoint: per-path material accumulators.
+        # A vertex routes to its material whether the hit is a sphere
+        # (bp mask) or a mesh triangle (mmat mask) — the BSDF factor is
+        # linear in the SAME mat_color either way.
         okf = step_ok.astype(jnp.float32)
         actf = act.astype(jnp.float32)
         for mi, plist in enumerate(prims_by_mat):
-            if not plist:
+            if not plist and mi not in mesh_mats:
                 continue
             mm = jnp.zeros(shape, jnp.bool_)
             for p in plist:
                 mm = mm | (bp == p)
+            if mi in mesh_mats:
+                mm = mm | (mesh_closer & (mmat == mi))
             mf = mm.astype(jnp.float32)
             nA[mi] += mf * okf
             cA[mi][0] += (Cr * okf - nee_r * actf) * mf
@@ -573,7 +743,7 @@ def _preplay_kernel(
         Lb = Lb + Cb * diedf
         n_samp = n_samp + died.astype(jnp.int32)
         for mi, plist in enumerate(prims_by_mat):
-            if not plist:
+            if not plist and mi not in mesh_mats:
                 continue
             GA[mi][0] += (Cr * nA[mi] - cA[mi][0]) * diedf
             GA[mi][1] += (Cg * nA[mi] - cA[mi][1]) * diedf
@@ -665,6 +835,11 @@ def persistent_replay_call(
     clamp(mat_color)/clamp(light_intensity), as with replay_call."""
     prims = pack_prims(scene)
     n_prims = int(scene.num_prims)
+    if n_prims == 0:
+        # sphere-less (pure-mesh) scenes: keep the SMEM operand non-empty
+        # (a 0-row BlockSpec is rejected); the unrolled sphere loops
+        # range over n_prims == 0 and never read it
+        prims = jnp.zeros((1, 12), jnp.float32)
     spec_prims = tuple(
         i for i, t in enumerate(scene.prim_mtypes) if t == SPECULAR
     )
@@ -680,6 +855,72 @@ def persistent_replay_call(
     lights_static = tuple(scene.light_structure)
     lights_tab = pack_lights(scene)
     n_lights = len(lights_static)
+
+    # ---- mesh geometry: the fused walk handles triangles in-kernel, so
+    # mesh-material gradients ride the SAME streaming adjoint (the last
+    # estimator-class gap between the production trainer and the XLA
+    # replay path). Textured materials are the exception: their albedo
+    # is a texel, not mat_color — route those scenes to the XLA replay.
+    has_mesh = scene.mesh_packed is not None
+    mesh_inputs = []
+    mesh_specs = []
+    mesh_statics = {}
+    if has_mesh:
+        if scene.textures is not None:
+            raise ValueError(
+                "persistent fused kernel: textured-material gradients "
+                "are not supported; use the XLA replay path"
+            )
+        pk = scene.mesh_packed
+        if 36 * pk.num_nodes > 700_000:
+            raise ValueError(
+                f"persistent fused kernel: node table ({pk.num_nodes} "
+                "nodes) exceeds the SMEM budget; use the XLA replay path"
+            )
+        matm = jnp.concatenate(
+            [scene.mat_color, scene.mat_coef[:, None]], axis=1
+        ).astype(jnp.float32)  # (M_pad, 4)
+        mbox = pk.nodes[:, 0:6].reshape(-1)
+        mmeta = pk.nodes[:, 6:9].astype(jnp.int32).reshape(-1)
+        tls = []
+        off = 0
+        tl_rows = []
+        for li, (ltype, _lp) in enumerate(lights_static):
+            K = scene.tri_light_counts[li] if ltype == 2 else 0
+            if ltype == 2 and K > 0:
+                tls.append((li, int(scene.light_mats[li]), off, K))
+                row = jnp.concatenate(
+                    [
+                        scene.tl_v0[li, :K], scene.tl_e1[li, :K],
+                        scene.tl_e2[li, :K], scene.tl_n[li, :K],
+                        scene.tl_cdf[li, :K, None],
+                        jnp.broadcast_to(scene.tl_area[li], (K,))[:, None],
+                    ],
+                    axis=1,
+                )
+                tl_rows.append(row)
+                off += K
+        tl_tab = (jnp.concatenate(tl_rows, axis=0).astype(jnp.float32)
+                  if tl_rows else jnp.zeros((1, 14), jnp.float32))
+        smem = lambda arr, nd=2: pl.BlockSpec(
+            arr.shape,
+            (lambda i, *_: (0, 0)) if nd == 2 else (lambda i, *_: (0,)),
+            memory_space=pltpu.SMEM,
+        )
+        mesh_inputs = [matm, mbox, mmeta, tl_tab, pk.tri_rows]
+        mesh_specs = [
+            smem(matm), smem(mbox, 1), smem(mmeta, 1), smem(tl_tab),
+            pl.BlockSpec(pk.tri_rows.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        mesh_statics = dict(
+            mesh=True,
+            mesh_nodes=pk.num_nodes,
+            leaf_rows=max(1, -(-pk.leaf_size // 8)),
+            mat_types=tuple(scene.mat_types),
+            tri_lights_static=tuple(tls),
+            mesh_mats=tuple(scene.mesh_mats_static),
+        )
 
     rows_total = target_lanes.shape[0]
     n_tiles = rows_total // tile_rows
@@ -710,6 +951,7 @@ def persistent_replay_call(
         n_lanes=n_lanes,
         inv_loss_n=1.0 / (n_pix * 3),
         external_rng=external_rng,
+        **mesh_statics,
     )
     tile_block = lambda i, *_: (i, 0)
     lane_spec = pl.BlockSpec((tile_rows, LANES), tile_block)
@@ -731,15 +973,25 @@ def persistent_replay_call(
         )(gtiles)
         rng_inputs.append(blocks.reshape(n_tiles * blk, LANES))
         rng_specs.append(pl.BlockSpec((blk, LANES), tile_block))
+    scratch_shapes = []
+    if has_mesh:
+        scratch_shapes = [
+            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((tile_rows, LANES), jnp.int32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((n_prims, 12), lambda i, *_: (0, 0),
+            pl.BlockSpec(prims.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((24,), lambda i, *_: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec(lights_tab.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
+            *mesh_specs,
             lane_spec, lane_spec, lane_spec,
             *rng_specs,
         ],
@@ -749,6 +1001,7 @@ def persistent_replay_call(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
+        scratch_shapes=scratch_shapes,
     )
     seed4 = jnp.stack(
         [seed[0], seed[1], jnp.int32(tile_offset), jnp.int32(iteration)]
@@ -769,6 +1022,7 @@ def persistent_replay_call(
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
         seed4, prims, cam_packed, lights_tab,
+        *mesh_inputs,
         target_lanes[:, :, 0], target_lanes[:, :, 1], target_lanes[:, :, 2],
         *rng_inputs,
     )
