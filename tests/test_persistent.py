@@ -506,8 +506,10 @@ def test_textured_mesh_matches_xla():
     mesh = build_bvh(v, f, uv, 0)
     tex = meshes.checker_texture(16, tiles=4, c0=(0.9, 0.15, 0.1),
                                  c1=(0.05, 0.85, 0.9))
+    # non-unit base color: the texel MODULATES mat_color (tex * A), so a
+    # wrong combine (e.g. the old replace semantics) fails per-pixel here
     scene = sc.make_scene(
-        [], [sc.diffuse([1.0, 1.0, 1.0])],
+        [], [sc.diffuse([0.7, 1.0, 0.9])],
         [sc.point_light([0.0, 8.0, 0.0], [60.0, 60.0, 60.0])],
         mesh=mesh, textures=tex, mat_texture=[0],
     )

@@ -261,9 +261,15 @@ def _merge_mesh_hit(scene, o, d, tmin, alive,
     t_coef = scene.mat_coef[tmat]
     t_mtype = scene.mat_type[tmat]
     if scene.textures is not None:
+        # Texture MODULATES the material's base color (tex * A): standard
+        # base-color semantics, and it keeps the albedo linear in
+        # mat_color so the replay/fused adjoints' dw/dA = w/A identity
+        # holds on textured vertices too (diff/replay.py).
         tex_id = scene.mat_texture[tmat]
         tex_rgb = sample_bilinear(scene.textures, tex_id, uv)
-        t_albedo = jnp.where((tex_id >= 0)[:, None], tex_rgb, t_albedo)
+        t_albedo = jnp.where(
+            (tex_id >= 0)[:, None], tex_rgb * t_albedo, t_albedo
+        )
 
     cl = closer[:, None]
     tp = o + d * jnp.where(th_t < 0.5 * BIG, th_t, 1.0)[:, None]

@@ -468,11 +468,12 @@ def _persistent_kernel(
 
                 jax.lax.fori_loop(0, rows, tex_body, 0)
 
-            # textured materials REPLACE their base color with the texel
-            # (wavefront semantics, ops/intersect.py _merge_mesh_hit)
-            ar = jnp.where(has_tex, s_txr[:, :], ar)
-            ag = jnp.where(has_tex, s_txg[:, :], ag)
-            ab = jnp.where(has_tex, s_txb[:, :], ab)
+            # texel MODULATES the material's base color (tex * A —
+            # wavefront semantics, ops/intersect.py _merge_mesh_hit;
+            # keeps albedo linear in mat_color for the fused adjoints)
+            ar = jnp.where(has_tex, s_txr[:, :] * ar, ar)
+            ag = jnp.where(has_tex, s_txg[:, :] * ag, ag)
+            ab = jnp.where(has_tex, s_txb[:, :] * ab, ab)
         # TRI_LIGHT emission: triangles of a tri light's material emit its
         # intensity (front side gated by one_sided downstream)
         er = jnp.where(mesh_closer, 0.0, er)

@@ -868,8 +868,9 @@ def persistent_replay_call(
     if has_mesh:
         if scene.textures is not None:
             raise ValueError(
-                "persistent fused kernel: textured-material gradients "
-                "are not supported; use the XLA replay path"
+                "persistent fused kernel: the fused walk does not sample "
+                "texture atlases; use the XLA replay/autodiff path for "
+                "textured scenes"
             )
         pk = scene.mesh_packed
         if 36 * pk.num_nodes > 700_000:

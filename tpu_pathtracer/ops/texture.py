@@ -2,9 +2,13 @@
 
 Supports BASELINE config 4's "textured triangle-mesh scene". Textures are
 stored as one (K, TH, TW, 3) stack (all the same resolution); materials
-reference a texture index (-1 = untextured). Lookups are XLA gathers over
-flattened indices — gather-bound on TPU, so texture resolution stays
-modest; a Pallas VMEM-resident sampler is the upgrade path.
+reference a texture index (-1 = untextured), and the sampled texel
+MODULATES the material's base color (tex * mat_color) — keeping albedo
+linear in mat_color for every adjoint, and making the atlas itself a
+differentiable parameter through this sampler's gathers (autodiff path).
+Lookups here are XLA gathers over flattened indices; the persistent
+kernel samples the same taps in-kernel as a soft-two-hot MXU contraction
+(ops/pallas/persistent.py).
 """
 from __future__ import annotations
 
