@@ -84,6 +84,58 @@ def test_camera_pos_grad_matches_fd(use_nee):
     np.testing.assert_allclose(g[2], fd_z, rtol=0.2, atol=0.5)
 
 
+def _mesh_fixture():
+    """Edge-free MESH fixture: a quad floor (2 triangles, in-kernel BVH
+    walk) + point light — the mesh analogue of _fixture(); flat-triangle
+    tangents (dn = 0) and the IFT position tangent are the terms under
+    test."""
+    from tpu_pathtracer.models import meshes
+    from tpu_pathtracer.models.mesh import build_bvh
+
+    v, f, uv = meshes.quad([-10, 0, -10], [-10, 0, 10], [10, 0, 10],
+                           [10, 0, -10])
+    mesh = build_bvh(v, f, uv, 0)
+    scene = sc.make_scene(
+        [], [sc.diffuse([0.8, 0.8, 0.8])],
+        [sc.point_light([2, 4, 1], [30, 30, 30])],
+        mesh=mesh,
+    )
+    scene = sc.with_packet_mesh(scene)
+    cam = cm.make_camera([0, 3, 6], [0, 0, 0], [0, 1, 0], W, H, 45.0)
+    w = jnp.asarray(np.random.default_rng(3).random((H, W, 3), np.float32))
+    return scene, cam, w
+
+
+def test_camera_pos_grad_matches_fd_mesh():
+    """MESH-scene camera-position gradients through the tangent kernel's
+    in-kernel BVH walk match finite differences of the kernel's own
+    primal (same seeds) — closes the 'sphere scenes only' scope note."""
+    scene, cam, w = _mesh_fixture()
+    seed = jnp.asarray([9, 4], jnp.int32)
+    val, g = camera_weighted_grad(
+        scene, cam, seed, w, spp=SPP, max_bounces=MB, budget=BUD,
+        tile_rows=TR, use_nee=True, interpret=True,
+    )
+    g = np.asarray(g["pos"])
+    assert np.isfinite(g).all() and np.abs(g).max() > 1.0
+
+    p0 = np.asarray(cam.pos)
+
+    def f(pos):
+        return _primal(scene, cam.replace(pos=jnp.asarray(pos, jnp.float32)),
+                       w, seed, True)
+
+    for i, eps in ((0, 8e-3), (1, 8e-3)):
+        dp = np.zeros(3)
+        dp[i] = eps
+        fd = (f(p0 + dp) - f(p0 - dp)) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=2e-2, atol=1e-2)
+    dp = np.zeros(3)
+    dp[2] = 3e-2
+    fd_z = (f(p0 + dp) - f(p0 - dp)) / (2 * 3e-2)
+    np.testing.assert_allclose(g[2], fd_z, rtol=0.2, atol=0.5)
+
+
 def test_camera_grad_finite_on_cornell():
     """Mirror + dielectric lanes through the tangent chain (reflect /
     refract JVPs) stay finite and nonzero on the production scene."""

@@ -28,9 +28,11 @@ tests/test_gradients.py::test_grad_camera_pose_matches_fd_edge_free):
     the sphere constraint: dt = -(n.do + t n.dd)/(n.d), dp = do + d dt
     + t dd, dn = dp / r.
 
-Scope: sphere scenes (the fixtures the estimator class is FD-validated
-on), brute-force or point-light NEE transport, no DOF. Mesh scenes,
-sphere-area-light NEE and DOF route to the XLA attached-autodiff path —
+Scope: sphere AND mesh scenes (the shared in-kernel BVH walk,
+ops/pallas/_walk.py — flat triangles contribute dn = 0, so the IFT
+position tangent is the only new geometry term), brute-force or
+point-light NEE transport, no DOF, untextured. Sphere-area/tri-light
+NEE, DOF and textured scenes route to the XLA attached-autodiff path —
 the estimator is identical, only slower.
 """
 from __future__ import annotations
@@ -45,6 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_pathtracer.models.scene import SPECULAR, TRANSMISSIVE, EPSILON, Scene
+from tpu_pathtracer.ops.pallas._walk import make_mesh_walk
 from tpu_pathtracer.ops.pallas.trace_kernel import (
     LANES, BIG, INV_PI,
     _dot3, _normalize3, _rand, _seed_streams,
@@ -76,7 +79,19 @@ def _cjvp_kernel(
     tmin: float,
     n_lanes: int,
     external_rng: bool,
+    # mesh statics (mesh=False leaves every mesh block untraced). Flat
+    # triangles have dn = 0 (the sphere path's dn = dp/r specializes via
+    # inv_r = 0 on mesh-won lanes), so the IFT position tangent
+    # dt = -(n.do + t n.dd)/(n.d) is the only new geometry term.
+    mesh: bool = False,
+    mesh_nodes: int = 0,
+    leaf_rows: int = 1,
+    mat_types: tuple = (),
+    tri_lights_static: tuple = (),  # ((light_idx, mat_id), ...) — emission
 ):
+    if mesh:
+        matm_ref, mbox_ref, mmeta_ref, mtris_ref = refs[:4]
+        refs = refs[4:]
     rng_ref = refs[0] if external_rng else None
     n_in = 1 if external_rng else 0
     outs = refs[n_in:]
@@ -84,11 +99,21 @@ def _cjvp_kernel(
     dl_os = outs[3:3 + 3 * n_tan]  # [dlr_0, dlg_0, dlb_0, dlr_1, ...]
     ns_o = outs[3 + 3 * n_tan]
     nrays_o = outs[4 + 3 * n_tan]
+    if mesh:
+        walk_scratch = outs[5 + 3 * n_tan:10 + 3 * n_tan]
 
     tile = pl.program_id(0)
     shape = (rows, LANES)
     fzeros = jnp.zeros(shape, jnp.float32)
     T_ = n_tan
+
+    if mesh:
+        mesh_walk = make_mesh_walk(
+            mbox_ref, mmeta_ref, mtris_ref, walk_scratch,
+            shape=shape, tmin=tmin, mesh_nodes=mesh_nodes,
+            leaf_rows=leaf_rows,
+        )
+        s_t, s_nx, s_ny, s_nz, s_m = walk_scratch
 
     lane = (
         jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
@@ -212,6 +237,14 @@ def _cjvp_kernel(
             tv = jnp.where((det >= 0.0) & (t > tmin), t, BIG)
             ts.append(tv)
             best_t = jnp.minimum(best_t, tv)
+        if mesh:
+            # mesh closest-hit walk, pruned from the sphere-pass t
+            t_init_m = jnp.where(alive, best_t, 0.0)
+            mesh_walk(ox, oy, oz, dx, dy, dz, t_init_m, occlusion=False)
+            tm = s_t[:, :]
+            mesh_closer = alive & (tm < best_t) & (tm < (0.5 * BIG))
+            mmat = s_m[:, :]
+            best_t = jnp.where(mesh_closer, tm, best_t)
         hit = best_t < (0.5 * BIG)
         act = alive & hit
         actf = act.astype(jnp.float32)
@@ -250,6 +283,43 @@ def _cjvp_kernel(
         is_t = jnp.zeros(shape, jnp.bool_)
         for p in trans_prims:
             is_t = is_t | is_ps[p]
+        if mesh:
+            # merge mesh attributes: normalized geometric normal wins on
+            # mesh lanes; inv_r stays 0 there, so dn = dp * inv_r = 0
+            # (flat triangle) falls out of the sphere formula below.
+            # Sphere winner masks is_ps are naturally all-false on mesh
+            # lanes (best_t = tm < every sphere tv).
+            mnx, mny, mnz = s_nx[:, :], s_ny[:, :], s_nz[:, :]
+            inv_len = jax.lax.rsqrt(
+                jnp.maximum(mnx * mnx + mny * mny + mnz * mnz, 1e-20)
+            )
+            nx = jnp.where(mesh_closer, mnx * inv_len, nx)
+            ny = jnp.where(mesh_closer, mny * inv_len, ny)
+            nz = jnp.where(mesh_closer, mnz * inv_len, nz)
+            for mi, mt_v in enumerate(mat_types):
+                m_mask = mesh_closer & (mmat == mi)
+                ar = jnp.where(m_mask, matm_ref[mi, 0], ar)
+                ag = jnp.where(m_mask, matm_ref[mi, 1], ag)
+                ab = jnp.where(m_mask, matm_ref[mi, 2], ab)
+                if mt_v in (SPECULAR, TRANSMISSIVE):
+                    coef = jnp.where(m_mask, matm_ref[mi, 3], coef)
+            ms_ = jnp.zeros(shape, jnp.bool_)
+            mt_ = jnp.zeros(shape, jnp.bool_)
+            for mi, mt_v in enumerate(mat_types):
+                if mt_v == SPECULAR:
+                    ms_ = ms_ | (mmat == mi)
+                elif mt_v == TRANSMISSIVE:
+                    mt_ = mt_ | (mmat == mi)
+            is_s = (is_s & ~mesh_closer) | (mesh_closer & ms_)
+            is_t = (is_t & ~mesh_closer) | (mesh_closer & mt_)
+            er = jnp.where(mesh_closer, 0.0, er)
+            eg = jnp.where(mesh_closer, 0.0, eg)
+            eb = jnp.where(mesh_closer, 0.0, eb)
+            for (li, lmat) in tri_lights_static:
+                m_mask = mesh_closer & (mmat == lmat)
+                er = jnp.where(m_mask, lights_ref[li, 3], er)
+                eg = jnp.where(m_mask, lights_ref[li, 4], eg)
+                eb = jnp.where(m_mask, lights_ref[li, 5], eb)
 
         # ---- geometry tangents (IFT on the winner's sphere constraint)
         nd = _dot3(nx, ny, nz, dx, dy, dz)
@@ -318,6 +388,14 @@ def _cjvp_kernel(
                         - ts_ * (2.0 * rb - ts_)
                     )
                     occ = occ | (d2s < prims_ref[pp, 3] * prims_ref[pp, 3])
+                if mesh:
+                    # mesh any-hit (primal only — occlusion is a detached
+                    # decision in this estimator)
+                    started = act & m_l & valid & ~occ & (smax > 0.0)
+                    mesh_walk(hx, hy, hz, wlx, wly, wlz,
+                              jnp.where(started, smax, 0.0),
+                              occlusion=True)
+                    occ = occ | (started & (s_t[:, :] == 0.0))
                 cos_l = _dot3(wlx, wly, wlz, nx, ny, nz)
                 support = (cos_l > 0.0) & (
                     _dot3(wox, woy, woz, wlx, wly, wlz) < 0.0
@@ -601,18 +679,21 @@ def camera_jvp_call(
     (L_sum (rows,LANES,3), dL_sum (T,rows,LANES,3), n_samp, live_rays):
     per-pixel primal radiance sums, their directional derivatives along
     each dcam row, and completed-sample counts."""
-    if scene.mesh is not None:
-        raise ValueError("camera-jvp kernel: sphere scenes only "
-                         "(mesh camera gradients use the XLA path)")
     for (ltype, _lp) in scene.light_structure:
         if use_nee and ltype != 0:
             raise ValueError("camera-jvp kernel NEE supports point lights "
-                             "only (area-light NEE uses the XLA path)")
+                             "only (area/tri-light NEE uses the XLA path)")
+    if scene.textures is not None:
+        raise ValueError("camera-jvp kernel: textured scenes use the XLA "
+                         "path (the interior estimator would need the "
+                         "texture's uv-motion term)")
     if dcam.ndim == 1:
         dcam = dcam[None, :]
     n_tan = dcam.shape[0]
     prims = pack_prims(scene)
     n_prims = int(scene.num_prims)
+    if n_prims == 0:
+        prims = jnp.zeros((1, 12), jnp.float32)  # non-empty SMEM operand
     spec_prims = tuple(
         i for i, t in enumerate(scene.prim_mtypes) if t == SPECULAR
     )
@@ -626,6 +707,54 @@ def camera_jvp_call(
     n_tiles = -(-n_lanes // tile_lanes)
     rows_total = n_tiles * tile_rows
 
+    # mesh geometry: shared in-kernel walk (ops/pallas/_walk.py); flat-
+    # triangle tangents need no extra tables (dn = 0), just the walk +
+    # material dispatch + TRI emission intensities
+    has_mesh = scene.mesh_packed is not None
+    if scene.mesh is not None and not has_mesh:
+        raise ValueError(
+            "camera-jvp kernel walks the packed mesh in-kernel: pack it "
+            "first with models.scene.with_packet_mesh(scene)"
+        )
+    mesh_inputs = []
+    mesh_specs = []
+    mesh_statics = {}
+    if has_mesh:
+        pk = scene.mesh_packed
+        if 36 * pk.num_nodes > 700_000:
+            raise ValueError(
+                f"camera-jvp kernel: node table ({pk.num_nodes} nodes) "
+                "exceeds the SMEM budget; use the XLA path"
+            )
+        matm = jnp.concatenate(
+            [scene.mat_color, scene.mat_coef[:, None]], axis=1
+        ).astype(jnp.float32)
+        mbox = pk.nodes[:, 0:6].reshape(-1)
+        mmeta = pk.nodes[:, 6:9].astype(jnp.int32).reshape(-1)
+        tls = tuple(
+            (li, int(scene.light_mats[li]))
+            for li, (ltype, _lp) in enumerate(lights_static)
+            if ltype == 2 and scene.tri_light_counts[li] > 0
+        )
+        smem = lambda arr, nd=2: pl.BlockSpec(
+            arr.shape,
+            (lambda i, *_: (0, 0)) if nd == 2 else (lambda i, *_: (0,)),
+            memory_space=pltpu.SMEM,
+        )
+        mesh_inputs = [matm, mbox, mmeta, pk.tri_rows]
+        mesh_specs = [
+            smem(matm), smem(mbox, 1), smem(mmeta, 1),
+            pl.BlockSpec(pk.tri_rows.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        mesh_statics = dict(
+            mesh=True,
+            mesh_nodes=pk.num_nodes,
+            leaf_rows=max(1, -(-pk.leaf_size // 8)),
+            mat_types=tuple(scene.mat_types),
+            tri_lights_static=tls,
+        )
+
     external_rng = bool(interpret)
     n_draw = 2 + 3 + (3 if use_nee else 0)
     kernel = functools.partial(
@@ -637,6 +766,7 @@ def camera_jvp_call(
         lights_static=lights_static, use_nee=use_nee, strat_k=strat_k,
         width=width, max_bounces=max_bounces, rr_start=rr_start,
         tmin=EPSILON, n_lanes=n_lanes, external_rng=external_rng,
+        **mesh_statics,
     )
     tile_block = lambda i, *_: (i, 0)
     lane_spec = pl.BlockSpec((tile_rows, LANES), tile_block)
@@ -656,6 +786,15 @@ def camera_jvp_call(
         )(gtiles)
         rng_inputs.append(blocks.reshape(n_tiles * blk, LANES))
         rng_specs.append(pl.BlockSpec((blk, LANES), tile_block))
+    scratch_shapes = []
+    if has_mesh:
+        scratch_shapes = [
+            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((tile_rows, LANES), jnp.int32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -667,12 +806,14 @@ def camera_jvp_call(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(lights_tab.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
+            *mesh_specs,
             *rng_specs,
         ],
         out_specs=[
             *([lane_spec] * (3 + 3 * n_tan + 1)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
+        scratch_shapes=scratch_shapes,
     )
     seed4 = jnp.stack(
         [seed[0], seed[1], jnp.int32(tile_offset), jnp.int32(iteration)]
@@ -687,7 +828,8 @@ def camera_jvp_call(
             jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed4, prims, cam_packed, dcam, lights_tab, *rng_inputs)
+    )(seed4, prims, cam_packed, dcam, lights_tab, *mesh_inputs,
+      *rng_inputs)
     lr, lg, lb = outs[0:3]
     dls = outs[3:3 + 3 * n_tan]
     ns = outs[3 + 3 * n_tan]
