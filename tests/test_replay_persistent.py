@@ -104,9 +104,10 @@ def _replica_loss_fn(scene, camera, target, seed, budget, use_nee,
                    else None)
 
     def mesh_brute(o, d, t0, z):
-        """(tm, n, mmat) closest mesh hit below t0, kernel op order."""
+        """(tm, n, mmat, uv) closest mesh hit below t0, kernel op order."""
         tm = t0
         mnx = z; mny = z; mnz = z
+        mu = z; mv = z
         mmat_l = jnp.zeros_like(z, dtype=jnp.int32) - 1
         for k in range(slots.shape[0]):
             s = slots[k]
@@ -133,7 +134,14 @@ def _replica_loss_fn(scene, camera, target, seed, budget, use_nee,
             mny = jnp.where(valid, float(gn[1]), mny)
             mnz = jnp.where(valid, float(gn[2]), mnz)
             mmat_l = jnp.where(valid, int(s[9]), mmat_l)
-        return tm, (mnx, mny, mnz), mmat_l
+            # interpolated texture uv (slots 10-15, _walk.py uv block)
+            mu = jnp.where(valid,
+                           float(s[10]) + uu * float(s[12])
+                           + vv * float(s[14]), mu)
+            mv = jnp.where(valid,
+                           float(s[11]) + uu * float(s[13])
+                           + vv * float(s[15]), mv)
+        return tm, (mnx, mny, mnz), mmat_l, (mu, mv)
 
     def mesh_occluded(h, wl, smax, z):
         occ = jnp.zeros_like(z, dtype=bool)
@@ -165,7 +173,12 @@ def _replica_loss_fn(scene, camera, target, seed, budget, use_nee,
         inv = jax.lax.rsqrt(jnp.maximum(dot3(x, y, z, x, y, z), 1e-20))
         return x * inv, y * inv, z * inv
 
-    def loss_fn(mat_color, light_intensity):
+    textured = scene.textures is not None
+    if textured:
+        mat_tex = scene.mat_textures_static
+        _, T_H, T_W, _ = scene.textures.shape
+
+    def loss_fn(mat_color, light_intensity, textures=None):
         # differentiable per-prim tables (pack_prims's provenance)
         alb = [mat_color[mids[p]] for p in range(n_prims)]
         emis = {}
@@ -262,7 +275,7 @@ def _replica_loss_fn(scene, camera, target, seed, budget, use_nee,
             mmat = jnp.zeros(n_lanes_tot, jnp.int32) - 1
             if has_mesh:
                 t_init = jnp.where(alive, best_t, 0.0)
-                tm, (mnx, mny, mnz), mmat = mesh_brute(
+                tm, (mnx, mny, mnz), mmat, (m_u, m_v) = mesh_brute(
                     o, d, sg(t_init), z)
                 tm = sg(tm)
                 mesh_closer = alive & (tm < best_t) & (tm < (0.5 * BIG))
@@ -292,6 +305,45 @@ def _replica_loss_fn(scene, camera, target, seed, budget, use_nee,
                         mt_ = mt_ | (mmat == mi)
                 is_s = (is_s & ~mesh_closer) | (mesh_closer & ms_)
                 is_t = (is_t & ~mesh_closer) | (mesh_closer & mt_)
+                if textured:
+                    # differentiable bilinear texel, kernel tap/wrap math
+                    # and association (y-interp first) — replay_persistent
+                    # intersect's soft-two-hot block
+                    texk = z - 1.0
+                    for mi, tid in enumerate(mat_tex):
+                        if tid >= 0:
+                            texk = jnp.where(mesh_closer & (mmat == mi),
+                                             float(tid), texk)
+                    has_tex = texk >= 0.0
+                    u_w = sg(m_u - jnp.floor(m_u))
+                    v_w = sg(m_v - jnp.floor(m_v))
+                    x = u_w * T_W - 0.5
+                    y = v_w * T_H - 0.5
+                    x0 = jnp.floor(x)
+                    y0 = jnp.floor(y)
+                    fx = x - x0
+                    fy = y - y0
+                    c0 = x0 + jnp.where(x0 < 0.0, float(T_W), 0.0)
+                    c1 = jnp.where(x0 + 1.0 >= T_W, x0 + 1.0 - T_W,
+                                   x0 + 1.0)
+                    r0 = y0 + jnp.where(y0 < 0.0, float(T_H), 0.0)
+                    r1 = jnp.where(y0 + 1.0 >= T_H, y0 + 1.0 - T_H,
+                                   y0 + 1.0)
+                    ki = jnp.maximum(texk, 0.0).astype(jnp.int32)
+                    r0i = r0.astype(jnp.int32)
+                    r1i = r1.astype(jnp.int32)
+                    c0i = c0.astype(jnp.int32)
+                    c1i = c1.astype(jnp.int32)
+                    t00 = textures[ki, r0i, c0i]
+                    t10 = textures[ki, r1i, c0i]
+                    t01 = textures[ki, r0i, c1i]
+                    t11 = textures[ki, r1i, c1i]
+                    a_c = (1.0 - fy)[:, None] * t00 + fy[:, None] * t10
+                    b_c = (1.0 - fy)[:, None] * t01 + fy[:, None] * t11
+                    texel = (1.0 - fx)[:, None] * a_c + fx[:, None] * b_c
+                    ar = jnp.where(has_tex, texel[:, 0] * ar, ar)
+                    ag = jnp.where(has_tex, texel[:, 1] * ag, ag)
+                    ab = jnp.where(has_tex, texel[:, 2] * ab, ab)
                 er = jnp.where(mesh_closer, 0.0, er)
                 eg = jnp.where(mesh_closer, 0.0, eg)
                 eb = jnp.where(mesh_closer, 0.0, eb)
@@ -767,7 +819,7 @@ def test_sample_guarantee_and_loss_consistency(cornell):
     target = jnp.asarray(rng.random((H, W, 3), np.float32))
     budget = SPP * (MB + 1)
     rows_total, n_lanes = pixel_lanes_layout(W, H, TR)
-    L, ns, loss, gA, gI, nrays = persistent_replay_call(
+    L, ns, loss, gA, gI, nrays, _ = persistent_replay_call(
         scene, pack_camera(camera), seed, jnp.int32(0),
         target_to_lanes(target, rows_total),
         spp=SPP, budget=budget, width=W, height=H, max_bounces=MB,
@@ -889,3 +941,71 @@ def test_grad_descent_recovers_albedo(cornell):
         mc = cur.mat_color - 4.0 * grads["mat_color"]
         cur = cur.replace(mat_color=jnp.clip(mc, 0.0, 1.0))
     assert losses[-1] < losses[0]
+
+
+@pytest.fixture(scope="module")
+def tex_scene():
+    """Textured quad floor (8x8 checker, material 0) + diffuse sphere +
+    emissive sphere area light + point light: exercises the two-launch
+    atlas-gradient scheme in both transport modes."""
+    from tpu_pathtracer.models import meshes
+    from tpu_pathtracer.models.mesh import build_bvh
+
+    v, f, uv = meshes.quad([-10, 0, -10], [-10, 0, 10], [10, 0, 10],
+                           [10, 0, -10])
+    mesh = build_bvh(v, f, uv, 0)
+    tex = meshes.checker_texture(8, tiles=2, c0=(0.9, 0.2, 0.15),
+                                 c1=(0.1, 0.8, 0.85))
+    scene = sc.make_scene(
+        [sc.sphere([0, 2, 0], 1.0, 1),
+         sc.sphere([2, 2.5, 0], 1.5, 2, light=1)],
+        [sc.diffuse([0.7, 1.0, 0.9]), sc.diffuse([0.8, 0.4, 0.3]),
+         sc.diffuse([0.05, 0.05, 0.05])],
+        [sc.point_light([0.0, 8.0, 3.0], [60.0, 60.0, 60.0]),
+         sc.area_light(1, [40.0, 40.0, 40.0])],
+        mesh=mesh, textures=tex, mat_texture=[0, -1, -1],
+    )
+    scene = sc.with_packet_mesh(scene)
+    camera = cm.make_camera([0, 10, 9], [0, 0, 0], [0, 1, 0], W, H, 60.0)
+    return scene, camera
+
+
+@pytest.mark.parametrize("nee", [True, False])
+def test_textured_grads_match_replica_autodiff(tex_scene, nee):
+    """Texture-ATLAS gradients from the two-launch scatter scheme (and
+    mat_color/light gradients on a textured scene — albedo is linear in
+    BOTH the texel and mat_color) == jax.grad of the schedule replica
+    w.r.t. the atlas on the SAME uniforms. Brute mode exercises the
+    emitter-hit-only credit, NEE mode the nee-at-vertex term."""
+    scene, camera = tex_scene
+    seed = jnp.asarray([5, 3], jnp.int32)
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(rng.random((H, W, 3), np.float32))
+
+    loss_k, grads_k, nrays = persistent_mse_value_and_grad(
+        scene, camera, seed, 0, target, spp=SPP, budget=MBUDGET,
+        max_bounces=MB, rr_start=RRS, tile_rows=TR, use_nee=nee,
+        interpret=True,
+    )
+    assert int(nrays) > 0
+    assert "textures" in grads_k
+
+    loss_fn = _replica_loss_fn(scene, camera, target, (5, 3), MBUDGET, nee)
+    loss_r, (gA_r, gI_r, gT_r) = jax.jit(
+        jax.value_and_grad(loss_fn, argnums=(0, 1, 2))
+    )(scene.mat_color, scene.light_intensity, scene.textures)
+
+    np.testing.assert_allclose(float(loss_k), float(loss_r), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(grads_k["mat_color"]), np.asarray(gA_r),
+        rtol=2e-3, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads_k["light_intensity"])[: gI_r.shape[0]],
+        np.asarray(gI_r), rtol=2e-3, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads_k["textures"]), np.asarray(gT_r),
+        rtol=2e-3, atol=1e-7,
+    )
+    assert np.abs(np.asarray(grads_k["textures"])).max() > 0

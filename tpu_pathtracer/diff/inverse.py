@@ -50,18 +50,35 @@ class TrainState:
 
 
 def params_of(scene: Scene) -> dict:
-    return {
+    p = {
         "mat_color": scene.mat_color,
         "light_intensity": scene.light_intensity,
     }
+    if scene.textures is not None:
+        p["textures"] = scene.textures
+    return p
 
 
 def apply_params(scene: Scene, params: dict) -> Scene:
     """Clamp-free param injection; callers clamp post-update if desired."""
-    return scene.replace(
+    scene = scene.replace(
         mat_color=params["mat_color"],
         light_intensity=params["light_intensity"],
     )
+    if "textures" in params:
+        scene = scene.replace(textures=params["textures"])
+    return scene
+
+
+def _clamp_params(params: dict) -> dict:
+    """Physical clamps: albedo/texels in [0,1], intensity >= 0."""
+    out = {
+        "mat_color": jnp.clip(params["mat_color"], 0.0, 1.0),
+        "light_intensity": jnp.maximum(params["light_intensity"], 0.0),
+    }
+    if "textures" in params:
+        out["textures"] = jnp.clip(params["textures"], 0.0, 1.0)
+    return out
 
 
 def make_optimizer(lr: float = 2e-2) -> optax.GradientTransformation:
@@ -147,12 +164,7 @@ def make_train_step(
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        # Physical clamps: albedo in [0,1], intensity >= 0.
-        params = {
-            "mat_color": jnp.clip(params["mat_color"], 0.0, 1.0),
-            "light_intensity": jnp.maximum(params["light_intensity"], 0.0),
-        }
+        params = _clamp_params(optax.apply_updates(state.params, updates))
         return (
             TrainState(params=params, opt_state=opt_state, step=state.step + 1),
             loss,
@@ -231,8 +243,9 @@ def kernel_loss_and_grads(
             use_dof=camera.use_dof, strat_k=strat_k, interpret=interpret,
         )
 
+        textured = scene.textures is not None and scene.mesh is not None
         if mesh is None:
-            _, _, loss, gA_raw, gI_raw, _ = call(
+            _, _, loss, gA_raw, gI_raw, _, gT = call(
                 scene_p, cam_packed, seed, it, aux
             )
         else:
@@ -242,7 +255,8 @@ def kernel_loss_and_grads(
                 shard_map,
                 mesh=mesh,
                 in_specs=(P(), P(), P(), P(axes)),
-                out_specs=(P(), P(), P()),
+                out_specs=(P(), P(), P(), P()) if textured
+                else (P(), P(), P()),
                 check_vma=False,
             )
             def psharded(scene_rep, cp_rep, seed_rep, aux_block):
@@ -250,17 +264,28 @@ def kernel_loss_and_grads(
                     jax.lax.axis_index(TILE_AXIS) * mesh.shape[SAMPLE_AXIS]
                     + jax.lax.axis_index(SAMPLE_AXIS)
                 )
-                _, _, l_p, gA_p, gI_p, _ = call(
+                _, _, l_p, gA_p, gI_p, _, gT_p = call(
                     scene_rep, cp_rep, seed_rep, it, aux_block,
                     tile_offset=shard * tiles_local,
                 )
-                return (
+                out = (
                     jax.lax.psum(l_p, axes),
                     jax.lax.psum(gA_p, axes),
                     jax.lax.psum(gI_p, axes),
                 )
+                if gT_p is not None:
+                    out = out + (jax.lax.psum(gT_p, axes),)
+                return out
 
-            loss, gA_raw, gI_raw = psharded(scene_p, cam_packed, seed, aux)
+            if textured:
+                loss, gA_raw, gI_raw, gT = psharded(
+                    scene_p, cam_packed, seed, aux
+                )
+            else:
+                loss, gA_raw, gI_raw = psharded(
+                    scene_p, cam_packed, seed, aux
+                )
+                gT = None
 
     elif engine == "sample":
         from tpu_pathtracer.ops.pallas.replay_kernel import (
@@ -273,6 +298,7 @@ def kernel_loss_and_grads(
                 "engine='persistent' (in-kernel BVH walk) for mesh scenes"
             )
 
+        gT = None
         tr = 16 if tile_rows is None else tile_rows
         rows_total, _ = lanes_layout(w, h, spp, tr, tiles_multiple=n_dev)
         aux = broadcast_pixels_to_lanes(target, spp, rows_total)
@@ -325,6 +351,12 @@ def kernel_loss_and_grads(
             scene_p.light_intensity, 1e-8
         ),
     }
+    if gT is not None:
+        # already the full dLoss/dtextures (scatter launch folds the
+        # cotangent and the 1/texel in-kernel) — no division here
+        grads["textures"] = gT
+    elif "textures" in params:
+        grads["textures"] = jnp.zeros_like(params["textures"])
     return loss, grads
 
 
@@ -362,11 +394,7 @@ def make_kernel_train_step(
         )
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
-        params = optax.apply_updates(state.params, updates)
-        params = {
-            "mat_color": jnp.clip(params["mat_color"], 0.0, 1.0),
-            "light_intensity": jnp.maximum(params["light_intensity"], 0.0),
-        }
+        params = _clamp_params(optax.apply_updates(state.params, updates))
         return (
             TrainState(params=params, opt_state=opt_state,
                        step=state.step + 1),
@@ -425,6 +453,7 @@ def render_target_kernel(
             width=w, height=h, max_bounces=config.max_bounces,
             rr_start=config.rr_start, use_nee=config.use_nee,
             use_dof=camera.use_dof, tile_rows=tr, interpret=interpret,
+            compute_tex_grad=False,  # forward-only: skip the scatter pass
         )
         lanes = L_lanes.reshape(-1, 3)[:n_lanes]
         n = jnp.maximum(ns.reshape(-1)[:n_lanes], 1)[:, None]

@@ -43,6 +43,33 @@ in persistent.py (lanes sit at different depths).
 Validated on CPU (interpret mode + external threefry uniforms) against
 jax.grad of a pure-JAX replica of the regeneration schedule
 (tests/test_replay_persistent.py).
+
+Texture-atlas gradients (textured mesh materials) use a TWO-LAUNCH
+scheme over the same kernel body. The streaming identity extends
+per-TEXEL: every BSDF/NEE factor at a textured vertex is linear in the
+bilinear texel, so with per-path totals C_tot
+
+    dC_tot/dT[tap] = sum_b w_tap(b)/texel_b * (ok_b*(C_tot - C_b) + nee_b)
+
+where C_b is the path radiance right after vertex b's emit+NEE terms.
+C_tot is unknown at vertex time, and the per-tap sums cannot live in
+per-lane registers (they are atlas-shaped), so:
+
+  launch 1 (adjoint mode) walks as before, additionally RECORDING each
+  completed path's C_tot into a per-lane slot (slot = sample index,
+  3*spp lane tiles) and outputting them;
+  launch 2 (scatter mode) REPLAYS the identical schedule (same counter
+  RNG streams), and at each textured vertex the whole bracket above is
+  now computable lane-locally — the recorded C_tot of the lane's
+  current sample slot, the lane-local MSE cotangent g (computed between
+  launches from launch 1's L/n_samp), and the live texel. The per-tap
+  scatter is the TRANSPOSE of the forward soft-two-hot sampler: per
+  sublane row, (TW,128) x-two-hot-times-value contracted against the
+  (KTH,128) y-two-hot on the MXU accumulates into a (3*TW, K*TH)
+  VMEM-resident gradient block (texT layout), revisited across tiles.
+In-flight paths at the end of launch 1 never recorded a C_tot; launch 2
+gates on slot < n_samp_final, so both sides of the estimator keep
+excluding them consistently.
 """
 from __future__ import annotations
 
@@ -102,20 +129,65 @@ def _preplay_kernel(
     mat_types: tuple = (),
     tri_lights_static: tuple = (),  # ((light_idx, mat_id, offset, K), ...)
     mesh_mats: tuple = (),
+    # texture statics (tex=False leaves every texture block untraced)
+    tex: bool = False,
+    tex_k: int = 0,
+    tex_th: int = 0,
+    tex_tw: int = 0,
+    mat_tex: tuple = (),  # per-material texture id (-1 = untextured)
+    # record_ct: launch 1 of the texture-gradient scheme — record and
+    # output each completed path's C_tot (off for forward-only textured
+    # calls, which then skip launch 2 entirely)
+    record_ct: bool = False,
+    # scatter_mode: launch 2 of the texture-gradient scheme — replay the
+    # identical schedule and scatter per-vertex atlas-tap gradients into
+    # the (3*TW, K*TH) output (module docstring). No adjoint registers,
+    # no loss/partials outputs.
+    scatter_mode: bool = False,
 ):
-    # refs: [mesh refs?], [tr_, tg_, tb_ target lanes], [rng?], then
-    # outputs [lr_o, lg_o, lb_o, ns_o, part_o, loss_o, nrays_o], then
-    # iff mesh the five VMEM walk scratch tiles.
+    # refs (adjoint mode): [mesh refs?][texT?], [tr_, tg_, tb_ target
+    # lanes], [rng?], outputs [lr_o, lg_o, lb_o, ns_o, part_o, loss_o,
+    # nrays_o] (+ iff tex 3*spp per-path C_tot slot tiles), then iff
+    # mesh the five VMEM walk scratch tiles (+ texture scratch iff tex).
+    # refs (scatter mode): [mesh refs][texT], [gr_, gg_, gb_ cotangent
+    # lanes], [3*spp C_tot slot tiles], [nsf (completed-count) tile],
+    # [rng?], output [gT_o (3*TW, K*TH)], walk + texture + value scratch.
     if mesh:
         matm_ref, mbox_ref, mmeta_ref, tl_ref, mtris_ref = refs[:5]
         refs = refs[5:]
-    tr_i, tg_i, tb_i = refs[0], refs[1], refs[2]
-    idx = 3
-    rng_ref = refs[idx] if external_rng else None
-    idx += 1 if external_rng else 0
-    lr_o, lg_o, lb_o, ns_o, part_o, loss_o, nrays_o = refs[idx:idx + 7]
+    if tex:
+        texT_ref = refs[0]  # (3*TW, K*TH) f32 transposed atlas (VMEM)
+        refs = refs[1:]
+    if scatter_mode:
+        gr_i, gg_i, gb_i = refs[0], refs[1], refs[2]
+        ct_refs = refs[3:3 + 3 * spp]
+        nsf_ref = refs[3 + 3 * spp]
+        refs = refs[4 + 3 * spp:]
+    else:
+        tr_i, tg_i, tb_i = refs[0], refs[1], refs[2]
+        refs = refs[3:]
+    rng_ref = refs[0] if external_rng else None
+    if external_rng:
+        refs = refs[1:]
+    if scatter_mode:
+        gT_o = refs[0]
+        refs = refs[1:]
+    else:
+        lr_o, lg_o, lb_o, ns_o, part_o, loss_o, nrays_o = refs[:7]
+        refs = refs[7:]
+        if tex and record_ct:
+            ct_o = refs[:3 * spp]
+            refs = refs[3 * spp:]
     if mesh:
-        walk_scratch = refs[idx + 7:idx + 12]
+        walk_scratch = refs[:5]
+        refs = refs[5:]
+    if tex:
+        (s_u, s_v, s_i0, s_i1, s_i2, s_i3, s_w0, s_w1,
+         s_txr, s_txg, s_txb) = refs[:11]
+        refs = refs[11:]
+        walk_scratch = tuple(walk_scratch) + (s_u, s_v)
+    if scatter_mode:
+        s_vr, s_vg, s_vb = refs[:3]
 
     n_lights = len(lights_static)
     tile = pl.program_id(0)
@@ -140,9 +212,9 @@ def _preplay_kernel(
         mesh_walk = make_mesh_walk(
             mbox_ref, mmeta_ref, mtris_ref, walk_scratch,
             shape=shape, tmin=tmin, mesh_nodes=mesh_nodes,
-            leaf_rows=leaf_rows,
+            leaf_rows=leaf_rows, track_uv=tex,
         )
-        s_t, s_nx, s_ny, s_nz, s_m = walk_scratch
+        s_t, s_nx, s_ny, s_nz, s_m = walk_scratch[:5]
 
     def intersect(ox, oy, oz, dx, dy, dz, alive_m):
         """Unrolled closest-hit over the sphere scene (scene.h:71-94),
@@ -199,8 +271,9 @@ def _preplay_kernel(
             mesh_closer = jnp.zeros(shape, jnp.bool_)
             tm = fzeros + BIG
             mmat = jnp.zeros(shape, jnp.int32) - 1
+            no_tex = jnp.zeros(shape, jnp.bool_)
             return (hit, best_p, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef,
-                    is_s, is_t, er, eg, eb, mesh_closer, tm, mmat)
+                    is_s, is_t, er, eg, eb, mesh_closer, tm, mmat, no_tex)
 
         # ---- mesh closest-hit walk, pruned from the sphere-pass t
         t_init = jnp.where(alive_m, best_t, 0.0)
@@ -239,6 +312,83 @@ def _preplay_kernel(
                 mt_b = mt_b | (mmat == mi)
         is_s = (is_s & ~mesh_closer) | (mesh_closer & ms)
         is_t = (is_t & ~mesh_closer) | (mesh_closer & mt_b)
+        has_tex = jnp.zeros(shape, jnp.bool_)
+        if tex:
+            # In-kernel bilinear texture sampling — the persistent.py
+            # soft-two-hot MXU contraction, op for op (same taps/weights
+            # as ops/texture.sample_bilinear): a (K*TH, 128) y-two-hot
+            # contracts the transposed atlas on the MXU, a (TW, 128)
+            # x-two-hot reduces over sublanes. Launches 1 and 2 run this
+            # identical code, so the replayed paths match bit for bit.
+            texk = fzeros - 1.0
+            for mi, tid in enumerate(mat_tex):
+                if tid >= 0:
+                    texk = jnp.where(mesh_closer & (mmat == mi),
+                                     float(tid), texk)
+            has_tex = texk >= 0.0
+            u_w = s_u[:, :] - jnp.floor(s_u[:, :])  # wrap to [0, 1)
+            v_w = s_v[:, :] - jnp.floor(s_v[:, :])
+            x = u_w * tex_tw - 0.5
+            y = v_w * tex_th - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            fx = x - x0
+            fy = y - y0
+            c0 = x0 + jnp.where(x0 < 0.0, float(tex_tw), 0.0)
+            c1 = jnp.where(x0 + 1.0 >= tex_tw, x0 + 1.0 - tex_tw, x0 + 1.0)
+            base = texk * float(tex_th)
+            r0 = y0 + jnp.where(y0 < 0.0, float(tex_th), 0.0) + base
+            r1 = (jnp.where(y0 + 1.0 >= tex_th, y0 + 1.0 - tex_th, y0 + 1.0)
+                  + base)
+            # untextured lanes: index -1 never matches the iota -> all-
+            # zero one-hot rows -> texel 0 (masked by has_tex anyway)
+            r0 = jnp.where(has_tex, r0, -1.0)
+            r1 = jnp.where(has_tex, r1, -1.0)
+            n_tex = jnp.sum(has_tex.astype(jnp.int32))
+
+            @pl.when(n_tex > 0)
+            def _sample_texture():
+                s_i0[:, :] = r0.astype(jnp.int32)
+                s_i1[:, :] = r1.astype(jnp.int32)
+                s_i2[:, :] = c0.astype(jnp.int32)
+                s_i3[:, :] = c1.astype(jnp.int32)
+                s_w0[:, :] = fy
+                s_w1[:, :] = fx
+                kth = tex_k * tex_th
+                iot_r = jax.lax.broadcasted_iota(
+                    jnp.int32, (kth, LANES), 0)
+                iot_c = jax.lax.broadcasted_iota(
+                    jnp.int32, (tex_tw, LANES), 0)
+
+                def tex_body(s, _):
+                    rr0 = s_i0[pl.ds(s, 1), :]
+                    rr1 = s_i1[pl.ds(s, 1), :]
+                    cc0 = s_i2[pl.ds(s, 1), :]
+                    cc1 = s_i3[pl.ds(s, 1), :]
+                    wy = s_w0[pl.ds(s, 1), :]
+                    wx = s_w1[pl.ds(s, 1), :]
+                    oh1 = (jnp.where(iot_r == rr0, 1.0 - wy, 0.0)
+                           + jnp.where(iot_r == rr1, wy, 0.0))
+                    m1 = jax.lax.dot_general(
+                        texT_ref[:, :], oh1,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (3*TW, 128): y-interpolated column profiles
+                    oh2 = (jnp.where(iot_c == cc0, 1.0 - wx, 0.0)
+                           + jnp.where(iot_c == cc1, wx, 0.0))
+                    for ch, ref in enumerate((s_txr, s_txg, s_txb)):
+                        sel = m1[ch * tex_tw:(ch + 1) * tex_tw, :] * oh2
+                        ref[pl.ds(s, 1), :] = jnp.sum(
+                            sel, axis=0, keepdims=True)
+                    return 0
+
+                jax.lax.fori_loop(0, rows, tex_body, 0)
+
+            # texel MODULATES the base color (tex * A) — keeps albedo
+            # linear in BOTH mat_color and the texel (adjoint routing)
+            ar = jnp.where(has_tex, s_txr[:, :] * ar, ar)
+            ag = jnp.where(has_tex, s_txg[:, :] * ag, ag)
+            ab = jnp.where(has_tex, s_txb[:, :] * ab, ab)
         # TRI_LIGHT emission: triangles of a tri light's material emit
         # its intensity (front side gated by one_sided downstream)
         er = jnp.where(mesh_closer, 0.0, er)
@@ -250,7 +400,7 @@ def _preplay_kernel(
             eg = jnp.where(m_mask, lights_ref[li, 4], eg)
             eb = jnp.where(m_mask, lights_ref[li, 5], eb)
         return (hit, best_p, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef,
-                is_s, is_t, er, eg, eb, mesh_closer, tm, mmat)
+                is_s, is_t, er, eg, eb, mesh_closer, tm, mmat, has_tex)
 
     # ---- walk state (all VMEM-resident for the whole launch)
     Lr = fzeros; Lg = fzeros; Lb = fzeros  # per-pixel completed-path sums
@@ -263,13 +413,31 @@ def _preplay_kernel(
     alive = jnp.zeros(shape, jnp.bool_)
     prev_pdf = fzeros
     prev_delta = jnp.zeros(shape, jnp.bool_)
-    # in-flight per-path adjoint
-    nA = [fzeros for _ in range(n_mats)]
-    cA = [[fzeros, fzeros, fzeros] for _ in range(n_mats)]
-    cI = [[fzeros, fzeros, fzeros] for _ in range(n_lights)]
-    # completed-path gradient accumulators (suffix factor applied at flush)
-    GA = [[fzeros, fzeros, fzeros] for _ in range(n_mats)]
-    GI = [[fzeros, fzeros, fzeros] for _ in range(n_lights)]
+    if not scatter_mode:
+        # in-flight per-path adjoint
+        nA = [fzeros for _ in range(n_mats)]
+        cA = [[fzeros, fzeros, fzeros] for _ in range(n_mats)]
+        cI = [[fzeros, fzeros, fzeros] for _ in range(n_lights)]
+        # completed-path gradient accumulators (suffix applied at flush)
+        GA = [[fzeros, fzeros, fzeros] for _ in range(n_mats)]
+        GI = [[fzeros, fzeros, fzeros] for _ in range(n_lights)]
+        if tex and record_ct:
+            # per-path C_tot records, slot = sample index (module
+            # docstring: launch 2 needs each completed path's total)
+            Ct = [[fzeros, fzeros, fzeros] for _ in range(spp)]
+    else:
+        # launch-2 constants: the lane-local MSE cotangent, launch 1's
+        # recorded per-path totals, and its final completed counts
+        g_ct = (gr_i[:, :], gg_i[:, :], gb_i[:, :])
+        Ct = [[ct_refs[k * 3 + c][:, :] for c in range(3)]
+              for k in range(spp)]
+        nsf = nsf_ref[:, :]
+
+        @pl.when(tile == 0)
+        def _init_gT():
+            gT_o[:, :] = jnp.zeros((3 * tex_tw, tex_k * tex_th),
+                                   jnp.float32)
+
     n_live = jnp.zeros((), jnp.int32)
     kk = strat_k * strat_k
     n_draw = (4 if use_dof else 2) + 3 + (3 if use_nee else 0)
@@ -349,22 +517,23 @@ def _preplay_kernel(
         bounce = jnp.where(regen, 0, bounce)
         prev_pdf = jnp.where(regen, 0.0, prev_pdf)
         prev_delta = prev_delta | regen
-        regf = regen.astype(jnp.float32)
-        keepf = 1.0 - regf
-        for mi in range(n_mats):
-            nA[mi] = nA[mi] * keepf
-            for c in range(3):
-                cA[mi][c] = cA[mi][c] * keepf
-        for li in range(n_lights):
-            for c in range(3):
-                cI[li][c] = cI[li][c] * keepf
+        if not scatter_mode:
+            regf = regen.astype(jnp.float32)
+            keepf = 1.0 - regf
+            for mi in range(n_mats):
+                nA[mi] = nA[mi] * keepf
+                for c in range(3):
+                    cA[mi][c] = cA[mi][c] * keepf
+            for li in range(n_lights):
+                for c in range(3):
+                    cI[li][c] = cI[li][c] * keepf
         alive = alive | regen
 
         n_live = n_live + jnp.sum(alive.astype(jnp.int32))
 
         # ---- trace the pending segment
         (hit, bp, hx, hy, hz, nx, ny, nz, ar, ag, ab, coef, is_s, is_t,
-         er, eg, eb, mesh_closer, tm, mmat) = intersect(
+         er, eg, eb, mesh_closer, tm, mmat, has_tex) = intersect(
             ox, oy, oz, dx, dy, dz, alive)
         act = alive & hit
         if mesh:
@@ -417,19 +586,20 @@ def _preplay_kernel(
         e_g = Tg * eg * take
         e_b = Tb * eb * take
         Cr = Cr + e_r; Cg = Cg + e_g; Cb = Cb + e_b
-        for li, (ltype, lprim) in enumerate(lights_static):
-            if ltype != 1 or lprim < 0:
-                continue
-            m = (bp == lprim).astype(jnp.float32)
-            cI[li][0] += e_r * m
-            cI[li][1] += e_g * m
-            cI[li][2] += e_b * m
-        for (li, lmat, _off, _K) in tri_lights_static:
-            # tri-emitter hits credit their light's intensity adjoint
-            m = (mesh_closer & (mmat == lmat)).astype(jnp.float32)
-            cI[li][0] += e_r * m
-            cI[li][1] += e_g * m
-            cI[li][2] += e_b * m
+        if not scatter_mode:
+            for li, (ltype, lprim) in enumerate(lights_static):
+                if ltype != 1 or lprim < 0:
+                    continue
+                m = (bp == lprim).astype(jnp.float32)
+                cI[li][0] += e_r * m
+                cI[li][1] += e_g * m
+                cI[li][2] += e_b * m
+            for (li, lmat, _off, _K) in tri_lights_static:
+                # tri-emitter hits credit their light's intensity adjoint
+                m = (mesh_closer & (mmat == lmat)).astype(jnp.float32)
+                cI[li][0] += e_r * m
+                cI[li][1] += e_g * m
+                cI[li][2] += e_b * m
 
         # ---- next-event estimation (per-light; accumulates cI too)
         is_d = ~(is_s | is_t) if (spec_prims or trans_prims) else None
@@ -603,9 +773,10 @@ def _preplay_kernel(
                 t_g = Tg * (ag * INV_PI) * rad_g * scale
                 t_b = Tb * (ab * INV_PI) * rad_b * scale
                 nee_r += t_r; nee_g += t_g; nee_b += t_b
-                cI[li][0] += t_r
-                cI[li][1] += t_g
-                cI[li][2] += t_b
+                if not scatter_mode:
+                    cI[li][0] += t_r
+                    cI[li][1] += t_g
+                    cI[li][2] += t_b
             Cr = Cr + nee_r; Cg = Cg + nee_g; Cb = Cb + nee_b
 
         # ---- BSDF sampling (scene.h:177-221; polar disk map — see
@@ -699,19 +870,88 @@ def _preplay_kernel(
         # linear in the SAME mat_color either way.
         okf = step_ok.astype(jnp.float32)
         actf = act.astype(jnp.float32)
-        for mi, plist in enumerate(prims_by_mat):
-            if not plist and mi not in mesh_mats:
-                continue
-            mm = jnp.zeros(shape, jnp.bool_)
-            for p in plist:
-                mm = mm | (bp == p)
-            if mi in mesh_mats:
-                mm = mm | (mesh_closer & (mmat == mi))
-            mf = mm.astype(jnp.float32)
-            nA[mi] += mf * okf
-            cA[mi][0] += (Cr * okf - nee_r * actf) * mf
-            cA[mi][1] += (Cg * okf - nee_g * actf) * mf
-            cA[mi][2] += (Cb * okf - nee_b * actf) * mf
+        if not scatter_mode:
+            for mi, plist in enumerate(prims_by_mat):
+                if not plist and mi not in mesh_mats:
+                    continue
+                mm = jnp.zeros(shape, jnp.bool_)
+                for p in plist:
+                    mm = mm | (bp == p)
+                if mi in mesh_mats:
+                    mm = mm | (mesh_closer & (mmat == mi))
+                mf = mm.astype(jnp.float32)
+                nA[mi] += mf * okf
+                cA[mi][0] += (Cr * okf - nee_r * actf) * mf
+                cA[mi][1] += (Cg * okf - nee_g * actf) * mf
+                cA[mi][2] += (Cb * okf - nee_b * actf) * mf
+        else:
+            # ---- texture-gradient scatter (module docstring): at a
+            # textured vertex the whole per-tap bracket is lane-local —
+            # recorded C_tot (slot = current sample index), cotangent g,
+            # live texel — so scatter it NOW, transposing the forward
+            # soft-two-hot: per sublane row, (TW,128) x-two-hot scaled by
+            # the value contracts against the (KTH,128) y-two-hot on the
+            # MXU and accumulates into the VMEM-resident gT block.
+            # Credit mirrors cA: ok*(C_tot - C_now) + nee*act (C_now has
+            # this vertex's emit+NEE added; NEE at the vertex itself
+            # carries the texel through ar, emit does not).
+            Ctr = fzeros; Ctg = fzeros; Ctb = fzeros
+            for k in range(spp):
+                mk = n_samp == k
+                Ctr = jnp.where(mk, Ct[k][0], Ctr)
+                Ctg = jnp.where(mk, Ct[k][1], Ctg)
+                Ctb = jnp.where(mk, Ct[k][2], Ctb)
+            # only paths that completed in launch 1 recorded a C_tot;
+            # in-flight leftovers are excluded from loss AND gradient
+            path_rec = n_samp < nsf
+            m_sc = act & has_tex & path_rec
+            mscf = m_sc.astype(jnp.float32)
+            # texel -> 0 forces credit -> 0 channel-wise (the factor is
+            # linear in the texel), so the clamp only guards 0/0
+            inv_txr = 1.0 / jnp.maximum(s_txr[:, :], 1e-8)
+            inv_txg = 1.0 / jnp.maximum(s_txg[:, :], 1e-8)
+            inv_txb = 1.0 / jnp.maximum(s_txb[:, :], 1e-8)
+            s_vr[:, :] = (g_ct[0] * (okf * (Ctr - Cr) + nee_r * actf)
+                          * inv_txr * mscf)
+            s_vg[:, :] = (g_ct[1] * (okf * (Ctg - Cg) + nee_g * actf)
+                          * inv_txg * mscf)
+            s_vb[:, :] = (g_ct[2] * (okf * (Ctb - Cb) + nee_b * actf)
+                          * inv_txb * mscf)
+            n_sc = jnp.sum(m_sc.astype(jnp.int32))
+
+            @pl.when(n_sc > 0)
+            def _scatter():
+                kth = tex_k * tex_th
+                iot_r = jax.lax.broadcasted_iota(
+                    jnp.int32, (kth, LANES), 0)
+                iot_c = jax.lax.broadcasted_iota(
+                    jnp.int32, (tex_tw, LANES), 0)
+
+                def sc_body(s, _):
+                    rr0 = s_i0[pl.ds(s, 1), :]
+                    rr1 = s_i1[pl.ds(s, 1), :]
+                    cc0 = s_i2[pl.ds(s, 1), :]
+                    cc1 = s_i3[pl.ds(s, 1), :]
+                    wy = s_w0[pl.ds(s, 1), :]
+                    wx = s_w1[pl.ds(s, 1), :]
+                    oh1 = (jnp.where(iot_r == rr0, 1.0 - wy, 0.0)
+                           + jnp.where(iot_r == rr1, wy, 0.0))
+                    oh2 = (jnp.where(iot_c == cc0, 1.0 - wx, 0.0)
+                           + jnp.where(iot_c == cc1, wx, 0.0))
+                    # stale taps (no textured lane this iteration) ride
+                    # zero values -> zero contribution
+                    for ch, vref in enumerate((s_vr, s_vg, s_vb)):
+                        contrib = jax.lax.dot_general(
+                            oh2 * vref[pl.ds(s, 1), :], oh1,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (TW, KTH)
+                        blk = gT_o[ch * tex_tw:(ch + 1) * tex_tw, :]
+                        gT_o[ch * tex_tw:(ch + 1) * tex_tw, :] = (
+                            blk + contrib)
+                    return 0
+
+                jax.lax.fori_loop(0, rows, sc_body, 0)
 
         # cos/pdf without the vector divide (see persistent.py)
         if spec_prims or trans_prims:
@@ -741,17 +981,26 @@ def _preplay_kernel(
         Lr = Lr + Cr * diedf
         Lg = Lg + Cg * diedf
         Lb = Lb + Cb * diedf
+        if not scatter_mode and tex and record_ct:
+            # record the completed path's total into its sample slot
+            # (n_samp pre-increment == this path's index)
+            for k in range(spp):
+                mk = died & (n_samp == k)
+                Ct[k][0] = jnp.where(mk, Cr, Ct[k][0])
+                Ct[k][1] = jnp.where(mk, Cg, Ct[k][1])
+                Ct[k][2] = jnp.where(mk, Cb, Ct[k][2])
         n_samp = n_samp + died.astype(jnp.int32)
-        for mi, plist in enumerate(prims_by_mat):
-            if not plist and mi not in mesh_mats:
-                continue
-            GA[mi][0] += (Cr * nA[mi] - cA[mi][0]) * diedf
-            GA[mi][1] += (Cg * nA[mi] - cA[mi][1]) * diedf
-            GA[mi][2] += (Cb * nA[mi] - cA[mi][2]) * diedf
-        for li in range(n_lights):
-            GI[li][0] += cI[li][0] * diedf
-            GI[li][1] += cI[li][1] * diedf
-            GI[li][2] += cI[li][2] * diedf
+        if not scatter_mode:
+            for mi, plist in enumerate(prims_by_mat):
+                if not plist and mi not in mesh_mats:
+                    continue
+                GA[mi][0] += (Cr * nA[mi] - cA[mi][0]) * diedf
+                GA[mi][1] += (Cg * nA[mi] - cA[mi][1]) * diedf
+                GA[mi][2] += (Cb * nA[mi] - cA[mi][2]) * diedf
+            for li in range(n_lights):
+                GI[li][0] += cI[li][0] * diedf
+                GI[li][1] += cI[li][1] * diedf
+                GI[li][2] += cI[li][2] * diedf
 
         # ---- pending ray for the next iteration
         ox = jnp.where(act, hx, ox)
@@ -766,6 +1015,9 @@ def _preplay_kernel(
         prev_delta = (act & new_delta) | (~act & prev_delta)
         bounce = jnp.where(act, bounce + 1, bounce)
         alive = alive_next
+
+    if scatter_mode:
+        return  # gT_o accumulated in-loop; no other outputs
 
     # ---- MSE cotangent, lane-local (lane == pixel)
     dom_f = in_domain.astype(jnp.float32)
@@ -800,6 +1052,10 @@ def _preplay_kernel(
     lb_o[:, :] = Lb * dom_f
     ns_o[:, :] = n_samp
     nrays_o[tile, 0] = n_live
+    if tex and record_ct:
+        for k in range(spp):
+            for c in range(3):
+                ct_o[k * 3 + c][:, :] = Ct[k][c]
 
 
 @functools.partial(
@@ -807,6 +1063,7 @@ def _preplay_kernel(
     static_argnames=(
         "spp", "budget", "width", "height", "max_bounces", "rr_start",
         "tile_rows", "use_nee", "use_dof", "strat_k", "interpret",
+        "compute_tex_grad",
     ),
 )
 def persistent_replay_call(
@@ -828,11 +1085,15 @@ def persistent_replay_call(
     strat_k: int = 2,
     tile_offset: Array | int = 0,
     interpret: bool = False,
-) -> tuple[Array, Array, Array, Array, Array, Array]:
+    compute_tex_grad: bool = True,
+) -> tuple[Array, Array, Array, Array, Array, Array, Array | None]:
     """One persistent fused fwd+bwd launch. Returns (L_sum_lanes
     (rows,LANES,3), n_samp_lanes, loss, gA_raw (M,3), gI_raw (NL,3),
-    live_ray_count). Callers divide the raw gradient partials by
-    clamp(mat_color)/clamp(light_intensity), as with replay_call."""
+    live_ray_count, gT). Callers divide the raw gradient partials by
+    clamp(mat_color)/clamp(light_intensity), as with replay_call. gT is
+    None for untextured scenes; for textured mesh scenes it is the
+    FINAL dLoss/dtextures (atlas shape, cotangent folded in) from the
+    second (scatter) launch — see the module docstring."""
     prims = pack_prims(scene)
     n_prims = int(scene.num_prims)
     if n_prims == 0:
@@ -859,19 +1120,16 @@ def persistent_replay_call(
     # ---- mesh geometry: the fused walk handles triangles in-kernel, so
     # mesh-material gradients ride the SAME streaming adjoint (the last
     # estimator-class gap between the production trainer and the XLA
-    # replay path). Textured materials are the exception: their albedo
-    # is a texel, not mat_color — route those scenes to the XLA replay.
+    # replay path). Textured materials sample the atlas in-kernel and
+    # get ATLAS gradients through the two-launch scatter scheme (module
+    # docstring).
     has_mesh = scene.mesh_packed is not None
     mesh_inputs = []
     mesh_specs = []
     mesh_statics = {}
+    tex = has_mesh and scene.textures is not None
+    tex_grad = tex and compute_tex_grad
     if has_mesh:
-        if scene.textures is not None:
-            raise ValueError(
-                "persistent fused kernel: the fused walk does not sample "
-                "texture atlases; use the XLA replay/autodiff path for "
-                "textured scenes"
-            )
         pk = scene.mesh_packed
         if 36 * pk.num_nodes > 700_000:
             raise ValueError(
@@ -922,6 +1180,29 @@ def persistent_replay_call(
             tri_lights_static=tuple(tls),
             mesh_mats=tuple(scene.mesh_mats_static),
         )
+        if tex:
+            if tex_grad and spp > 32:
+                raise ValueError(
+                    "textured-atlas gradients record per-path totals in "
+                    f"3*spp VMEM lane tiles; spp={spp} > 32 — chunk the "
+                    "sample budget or use the XLA replay path"
+                )
+            # transposed atlas for the in-kernel soft-two-hot sampler:
+            # texT[ch*TW + x, k*TH + y] = textures[k, y, x, ch]
+            K_t, TH, TW, _ = scene.textures.shape
+            texT = jnp.transpose(scene.textures, (3, 2, 0, 1)).reshape(
+                3 * TW, K_t * TH
+            )
+            mesh_inputs.append(texT)
+            mesh_specs.append(
+                pl.BlockSpec(texT.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            mesh_statics.update(
+                tex=True, tex_k=K_t, tex_th=TH, tex_tw=TW,
+                mat_tex=scene.mat_textures_static,
+                record_ct=tex_grad,
+            )
 
     rows_total = target_lanes.shape[0]
     n_tiles = rows_total // tile_rows
@@ -983,6 +1264,13 @@ def persistent_replay_call(
             pltpu.VMEM((tile_rows, LANES), jnp.float32),
             pltpu.VMEM((tile_rows, LANES), jnp.int32),
         ]
+        if tex:
+            # s_u s_v | tap rows/cols i0-i3 (int32) | weights | texel rgb
+            scratch_shapes += (
+                [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 2
+                + [pltpu.VMEM((tile_rows, LANES), jnp.int32)] * 4
+                + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
+            )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -1001,6 +1289,7 @@ def persistent_replay_call(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            *([lane_spec] * (3 * spp) if tex_grad else []),
         ],
         scratch_shapes=scratch_shapes,
     )
@@ -1008,17 +1297,19 @@ def persistent_replay_call(
         [seed[0], seed[1], jnp.int32(tile_offset), jnp.int32(iteration)]
     )
     k_part = n_mats * 3 + n_lights * 3
+    lane_f32 = jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+            lane_f32,
+            lane_f32,
+            lane_f32,
             jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32),
             jax.ShapeDtypeStruct((n_tiles, k_part), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
+            *([lane_f32] * (3 * spp) if tex_grad else []),
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
@@ -1027,12 +1318,79 @@ def persistent_replay_call(
         target_lanes[:, :, 0], target_lanes[:, :, 1], target_lanes[:, :, 2],
         *rng_inputs,
     )
-    lr, lg, lb, ns, partials, loss_p, nrays = outs
+    lr, lg, lb, ns, partials, loss_p, nrays = outs[:7]
     part = jnp.sum(partials, axis=0)
     gA_raw = part[: n_mats * 3].reshape(n_mats, 3)
     gI_raw = part[n_mats * 3:].reshape(n_lights, 3)
     L_lanes = jnp.stack([lr, lg, lb], axis=-1)
-    return L_lanes, ns, jnp.sum(loss_p), gA_raw, gI_raw, jnp.sum(nrays)
+
+    gT = None
+    if tex_grad:
+        # ---- launch 2: replay the identical schedule and scatter the
+        # per-vertex atlas-tap gradients (module docstring). The lane-
+        # local MSE cotangent replicates the kernel epilogue's f32 math.
+        ct_lanes = outs[7:]
+        gl = (
+            jnp.arange(rows_total * LANES, dtype=jnp.int32)
+            .reshape(rows_total, LANES)
+            + jnp.int32(tile_offset) * (tile_rows * LANES)
+        )
+        havef = ((ns > 0) & (gl < n_lanes)).astype(jnp.float32)
+        inv_n = havef / jnp.maximum(ns.astype(jnp.float32), 1.0)
+        gscale = (2.0 / (n_pix * 3)) * inv_n
+        g_lanes = [
+            (lr * inv_n - target_lanes[:, :, 0]) * havef * gscale,
+            (lg * inv_n - target_lanes[:, :, 1]) * havef * gscale,
+            (lb * inv_n - target_lanes[:, :, 2]) * havef * gscale,
+        ]
+        sc_grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(prims.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((24,), lambda i, *_: (0,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(lights_tab.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                *mesh_specs,
+                *([lane_spec] * (3 + 3 * spp)),
+                pl.BlockSpec((tile_rows, LANES), tile_block),  # nsf (i32)
+                *rng_specs,
+            ],
+            out_specs=[
+                # constant index map: the gT block stays VMEM-resident
+                # and accumulates across the sequential tile grid
+                pl.BlockSpec(texT.shape, lambda i, *_: (0, 0)),
+            ],
+            scratch_shapes=scratch_shapes + [
+                pltpu.VMEM((tile_rows, LANES), jnp.float32)
+                for _ in range(3)  # s_vr s_vg s_vb
+            ],
+        )
+        (gT_flat,) = pl.pallas_call(
+            functools.partial(kernel, scatter_mode=True),
+            grid_spec=sc_grid_spec,
+            out_shape=[jax.ShapeDtypeStruct(texT.shape, jnp.float32)],
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(
+            seed4, prims, cam_packed, lights_tab,
+            *mesh_inputs,
+            *g_lanes,
+            *ct_lanes,
+            ns,
+            *rng_inputs,
+        )
+        # texT layout -> atlas layout: gT[k, y, x, ch] = flat[ch*TW+x,
+        # k*TH+y] (inverse of the transpose above). This is the FINAL
+        # dLoss/dtextures — the cotangent is already folded in.
+        K_t, TH, TW, _ = scene.textures.shape
+        gT = jnp.transpose(
+            gT_flat.reshape(3, TW, K_t, TH), (2, 3, 1, 0)
+        )
+
+    return (L_lanes, ns, jnp.sum(loss_p), gA_raw, gI_raw, jnp.sum(nrays),
+            gT)
 
 
 def pixel_lanes_layout(width: int, height: int, tile_rows: int = 32,
@@ -1087,7 +1445,7 @@ def persistent_mse_value_and_grad(
     aux = target_to_lanes(target, rows_total)
     if budget is None:
         budget = default_budget(spp, max_bounces)
-    _, _, loss, gA_raw, gI_raw, nrays = persistent_replay_call(
+    _, _, loss, gA_raw, gI_raw, nrays, gT = persistent_replay_call(
         scene, pack_camera(camera), seed, jnp.int32(iteration), aux,
         spp=spp, budget=budget, width=w, height=h, max_bounces=max_bounces,
         rr_start=rr_start, tile_rows=tile_rows, use_nee=use_nee,
@@ -1101,4 +1459,6 @@ def persistent_mse_value_and_grad(
             scene.light_intensity, 1e-8
         ),
     }
+    if gT is not None:
+        grads["textures"] = gT  # final dLoss/dtextures, no division
     return loss, grads, nrays
