@@ -65,14 +65,14 @@ def cmd_render(args: argparse.Namespace) -> int:
 
     backend = args.backend
     if backend == "auto":
-        backend = "pallas" if jax.devices()[0].platform == "axon" else "xla"
-        if scene.mesh is not None and int(scene.mesh.num_tris) > 10_000:
-            # Large meshes: the two-pass binned packet traversal (XLA
-            # wavefront) is the tuned path for incoherent waves at
-            # config-4 scale; the persistent kernel's whole-tile walk
-            # pays every leaf for all 4096 lanes. Explicit
-            # --backend pallas still forces the persistent kernel.
-            backend = "xla"
+        # Shared routing policy with the viewer (progressive.auto_backend):
+        # persistent kernel on accelerators except big meshes, where the
+        # two-pass binned packet traversal (XLA wavefront) is the tuned
+        # path for incoherent waves at config-4 scale. Explicit
+        # --backend pallas still forces the persistent kernel.
+        from tpu_pathtracer.models.progressive import auto_backend
+
+        backend = auto_backend(scene)
 
     meter = RenderMeter(w * h * args.spp)
     if backend == "pallas":

@@ -356,7 +356,18 @@ def kernel_loss_and_grads(
         # cotangent and the 1/texel in-kernel) — no division here
         grads["textures"] = gT
     elif "textures" in params:
-        grads["textures"] = jnp.zeros_like(params["textures"])
+        # An optimizer fed all-zero texture gradients would silently
+        # freeze the atlas; fail loudly instead (ADVICE r4). The fused
+        # atlas gradient needs engine="persistent" AND a packed mesh
+        # (UVs only exist on triangles); otherwise use the XLA autodiff
+        # path (make_train_step) or drop "textures" from params.
+        raise ValueError(
+            "params include 'textures' but the selected engine cannot "
+            f"produce atlas gradients (engine={engine!r}, "
+            f"mesh={'present' if scene.mesh is not None else 'absent'}): "
+            "use engine='persistent' with a packed triangle mesh, or "
+            "remove 'textures' from params / use the XLA train step"
+        )
     return loss, grads
 
 

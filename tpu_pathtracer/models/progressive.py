@@ -77,6 +77,26 @@ def image(state: AccumulatorState) -> Array:
     return state.radiance_sum / n
 
 
+# Persistent-kernel vs XLA-wavefront crossover for mesh scenes. The
+# persistent kernel's whole-tile in-kernel walk pays every visited leaf
+# for all of a tile's lanes; past this triangle count the two-pass
+# binned packet traversal (XLA wavefront) wins on incoherent waves
+# (config-4 scale — A/B numbers in BASELINE.md). One policy for CLI and
+# viewer (VERDICT r4 item 6).
+BIG_MESH_TRIS = 10_000
+
+
+def auto_backend(scene: Scene) -> str:
+    """Shared backend auto-routing: "pallas" (persistent kernel) on
+    accelerators for sphere scenes and small/medium meshes, "xla"
+    (wavefront + packet BVH) on CPU and for big meshes."""
+    if jax.devices()[0].platform == "cpu":
+        return "xla"
+    if scene.mesh is not None and int(scene.mesh.num_tris) > BIG_MESH_TRIS:
+        return "xla"
+    return "pallas"
+
+
 class PersistentRenderer:
     """Progressive renderer over the persistent path-regeneration kernel
     (ops/pallas/persistent.py) — the fast path's analogue of

@@ -47,6 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_pathtracer.models.scene import SPECULAR, TRANSMISSIVE, EPSILON, Scene
+from tpu_pathtracer.ops.pallas import mesh_kernel
 from tpu_pathtracer.ops.pallas._walk import make_mesh_walk
 from tpu_pathtracer.ops.pallas.trace_kernel import (
     LANES, BIG, INV_PI,
@@ -721,7 +722,7 @@ def camera_jvp_call(
     mesh_statics = {}
     if has_mesh:
         pk = scene.mesh_packed
-        if 36 * pk.num_nodes > 700_000:
+        if 36 * pk.num_nodes > mesh_kernel.SMEM_NODE_BUDGET:
             raise ValueError(
                 f"camera-jvp kernel: node table ({pk.num_nodes} nodes) "
                 "exceeds the SMEM budget; use the XLA path"

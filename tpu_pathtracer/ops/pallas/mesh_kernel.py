@@ -798,8 +798,14 @@ def intersect_mesh_packet(
                                  tile_rows=tile_rows, interpret=interpret)
             has = (cell >= 0) & live
             # minor key: quantized entry distance — lanes entering the
-            # cell at similar depths share fine leaves
-            tq = jnp.clip(btn * (1.0 / 8.0), 0.0, 63.0).astype(jnp.int32)
+            # cell at similar depths share fine leaves. Bucket size is
+            # normalized by the root-AABB diagonal (diag/64 per bucket,
+            # ADVICE r4) so the depth keying keeps its resolution for
+            # scenes much larger or smaller than Cornell scale.
+            root = coarse.nodes[0]
+            diag = jnp.sqrt(jnp.sum((root[3:6] - root[0:3]) ** 2))
+            tq = jnp.clip(btn * (64.0 / jnp.maximum(diag, 1e-6)),
+                          0.0, 63.0).astype(jnp.int32)
             key = jnp.where(
                 has, ((cell * 8 + _octant(d)) << 6) | tq,
                 jnp.int32(1 << 26),

@@ -70,6 +70,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_pathtracer.models.scene import (
     SPECULAR, TRANSMISSIVE, EPSILON, Scene,
 )
+from tpu_pathtracer.ops.pallas import mesh_kernel
 from tpu_pathtracer.ops.pallas._walk import make_mesh_walk
 from tpu_pathtracer.ops.pallas.trace_kernel import (
     LANES, BIG, INV_PI,
@@ -429,6 +430,17 @@ def _persistent_kernel(
             r1 = jnp.where(has_tex, r1, -1.0)
             n_tex = jnp.sum(has_tex.astype(jnp.int32))
 
+            # Cost model (ADVICE r4): when ANY lane in the tile is
+            # textured, the fori_loop below runs the full (3TW,KTH)x
+            # (KTH,128) contraction for EVERY sublane row — measured at
+            # +12% per step on a 256² atlas with an all-textured terrain
+            # (BASELINE.md). A per-row gate is not worth it: pl.when on a
+            # traced row predicate inside the fori body still issues the
+            # MXU op's worst-case schedule, and mixed tiles are rare
+            # (textures cover whole meshes, and lanes within a tile are
+            # raster-adjacent pixels of the same object). Mostly-
+            # untextured SCENES skip everything via the tile-level
+            # n_tex gate here.
             @pl.when(n_tex > 0)
             def _sample_texture():
                 # tap indices as int32 (Mosaic's iota is integer-only)
@@ -1057,7 +1069,7 @@ def persistent_step(
     mesh_statics = {}
     if has_mesh:
         pk = scene.mesh_packed
-        if 36 * pk.num_nodes > 700_000:
+        if 36 * pk.num_nodes > mesh_kernel.SMEM_NODE_BUDGET:
             raise ValueError(
                 f"persistent kernel: node table ({pk.num_nodes} nodes) "
                 "exceeds the SMEM budget; use the wavefront renderer"

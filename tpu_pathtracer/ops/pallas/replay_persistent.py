@@ -85,6 +85,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_pathtracer.models.scene import (
     SPECULAR, TRANSMISSIVE, EPSILON, Scene,
 )
+from tpu_pathtracer.ops.pallas import mesh_kernel
 from tpu_pathtracer.ops.pallas._walk import make_mesh_walk
 from tpu_pathtracer.ops.pallas.trace_kernel import (
     LANES, BIG, INV_PI,
@@ -1131,7 +1132,7 @@ def persistent_replay_call(
     tex_grad = tex and compute_tex_grad
     if has_mesh:
         pk = scene.mesh_packed
-        if 36 * pk.num_nodes > 700_000:
+        if 36 * pk.num_nodes > mesh_kernel.SMEM_NODE_BUDGET:
             raise ValueError(
                 f"persistent fused kernel: node table ({pk.num_nodes} "
                 "nodes) exceeds the SMEM budget; use the XLA replay path"

@@ -206,11 +206,13 @@ def run_viewer(
     from tpu_pathtracer.utils.metrics import RenderMeter
 
     if backend == "auto":
-        # the persistent kernel traces spheres AND meshes in-kernel,
-        # including textured materials (in-kernel atlas sampling)
-        backend = (
-            "pallas" if jax.devices()[0].platform != "cpu" else "xla"
-        )
+        # Shared routing policy with the CLI (progressive.auto_backend):
+        # the persistent kernel traces spheres AND meshes in-kernel
+        # (including textured materials), but big meshes route to the
+        # XLA wavefront's two-pass packet traversal (VERDICT r4 item 6).
+        from tpu_pathtracer.models.progressive import auto_backend
+
+        backend = auto_backend(scene)
     if backend == "pallas":
         # on CPU (forced backend, headless smoke tests) run the kernel
         # through the Pallas interpreter, with a small budget — the
