@@ -125,8 +125,9 @@ def _cjvp_kernel(
     px = (lane % width).astype(jnp.float32)
     py = (lane // width).astype(jnp.float32)
 
-    _seed_streams(seed_ref[0], seed_ref[3], tile + seed_ref[2], seed_ref[1],
-                  jnp.int32(1))
+    if not external_rng:
+        _seed_streams(seed_ref[0], seed_ref[3], tile + seed_ref[2],
+                      seed_ref[1], jnp.int32(1))
 
     def vz():
         return [fzeros for _ in range(T_)]
@@ -828,7 +829,9 @@ def camera_jvp_call(
             jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32),
             jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
         ],
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=(True if interpret == "generic"
+                   else pltpu.InterpretParams() if interpret
+                   else False),
     )(seed4, prims, cam_packed, dcam, lights_tab, *mesh_inputs,
       *rng_inputs)
     lr, lg, lb = outs[0:3]

@@ -74,6 +74,16 @@ TRIS_PER_ROW = 8
 # (exercised by tests/test_mesh.py::test_vmem_node_fallback).
 SMEM_NODE_BUDGET = 700_000
 TRI_STRIDE = 16  # floats per triangle slot
+# Independent tile walks interleaved per packet-kernel instance: the walk
+# is node-step-bound and each step's any-lane reduction drains the vector
+# pipeline (~171 ns); a partner walk's independent vector work overlaps
+# the drain (73 ns/step at 2, benchmarks/_step_probe.py). Results are
+# bit-identical for any value.
+WALK_PAIR = 2
+# Leaf visits queued per walk before a descent pause drains them as one
+# uniform vector batch (see _packet_kernel). Larger = fewer pauses but
+# staler t-tightening in the descent's box culling (more visits).
+QUEUE_CAP = 16
 
 
 @flax.struct.dataclass
@@ -89,6 +99,13 @@ class PackedMesh:
     # coarse node's subtree as a FINE-tree node range, for the fine
     # walk's hint-first restart (see intersect_mesh_packet).
     fine_map: Any = None
+    # Coarse trees only: the LEAF cells as flat tables — (C*6,) f32
+    # boxes and (C,) int32 node ids in DFS order. The bin pass sweeps
+    # these linearly (no tree walk, no any-lane reductions): at a few
+    # hundred cells the pure-vector sweep beats the reduction-stalled
+    # walk ~5x (see _bin_kernel).
+    cell_boxes: Any = None
+    cell_ids: Any = None
 
 
 def _collapse_subtrees(node_start, node_count, node_skip, node_min,
@@ -213,6 +230,7 @@ def pack_mesh(mesh: MeshData, collapse_leaf: int = 64,
                 np.stack([np.where(ok_map, fs, 0),
                           np.where(ok_map, fe, 0)], axis=1), jnp.int32
             )
+        leaf_sel = np.nonzero(node_count > 0)[0]
         return PackedMesh(
             nodes=jnp.asarray(nodes),
             tri_rows=jnp.zeros((1, LANES), jnp.float32),
@@ -220,6 +238,11 @@ def pack_mesh(mesh: MeshData, collapse_leaf: int = 64,
             leaf_size=int(node_count.max()) if M else 0,
             num_nodes=M,
             fine_map=fine_map,
+            cell_boxes=jnp.asarray(
+                np.concatenate([node_min[leaf_sel], node_max[leaf_sel]],
+                               axis=1).reshape(-1), jnp.float32
+            ),
+            cell_ids=jnp.asarray(leaf_sel, jnp.int32),
         )
     v0 = np.asarray(mesh.v0)
     e1 = np.asarray(mesh.e1)
@@ -286,15 +309,15 @@ def pack_mesh(mesh: MeshData, collapse_leaf: int = 64,
 
 
 def _packet_kernel(
-    flags_ref,  # scalar prefetch: (n_tiles,) int32 — any live lane?
+    flags_ref,  # scalar prefetch: (n_tiles, 3) int32 — live flag + hints
     box_ref,  # (M*6,) f32 node AABBs [min3 max3] flat — SMEM (1-D: SMEM
     #          pads every 2-D ROW to 512 B, so tables must be flat)
     meta_ref,  # (M*3,) i32 [skip start count] flat — SMEM
     tris_ref,  # (R, 128) VMEM
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (rows, 128)
-    t0_ref,  # (rows, 128) per-lane start distance; <= 0 marks a dead lane
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (pair*rows, 128)
+    t0_ref,  # (pair*rows, 128) per-lane start distance; <= 0 marks dead
     t_ref, idx_ref, nx_ref, ny_ref, nz_ref, tu_ref, tv_ref, mat_ref,
-    *,
+    *queue_refs,  # pair SMEM (queue_cap,) int32 scratch queues
     rows: int,
     n_nodes: int,
     leaf_rows: int,
@@ -302,183 +325,329 @@ def _packet_kernel(
     occlusion: bool,
     flat_nodes: bool,
     defer_attrs: bool = False,
+    pair: int = 1,
+    queue_cap: int = 16,
 ):
-    tile = pl.program_id(0)
-    ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
-    dx, dy, dz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
-    t0 = t0_ref[:, :]
-    live = t0 > 0.0
+    """QUEUE-BATCH paired walk. Two structural facts drive this shape
+    (benchmarks/_step_probe*.py):
+
+    1. The walk is NODE-STEP-bound, not leaf-math-bound: each step's
+       any-lane reduction (vector predicate -> scalar branch) drains the
+       vector pipeline before the scalar unit can pick the next node
+       (~171 ns/step vs ~25 ns of box-test math).
+    2. A conditional VECTOR region (pl.when leaf body) inside the loop
+       serializes everything around it — pairing two walks recovers
+       nothing while the leaf test is inline (probe: 168 ns/step paired
+       inline vs 73 ns paired pure-dataflow).
+
+    So: the descent loop only QUEUES leaf node ids (a conditional SMEM
+    scalar write — no conditional vector work), pausing every
+    ``queue_cap`` leaves to run the triangle tests as one uniform vector
+    batch; and ``pair`` independent tiles advance through the shared
+    while_loops so each walk's reduction drain overlaps the partner's
+    vector work (probe: 2.1x per step vs the inline structure). Leaf
+    t-tightening becomes batch-granular, which only ADDS box-test
+    visits (supersets, same DFS order, strict-< updates) — results are
+    bit-identical to the inline walk.
+    """
+    gtile = pl.program_id(0)
+    brows = pair * rows
 
     def safe_inv(a):
         s = jnp.where(jnp.abs(a) > 1e-12, a, jnp.where(a >= 0, 1e-12, -1e-12))
         return 1.0 / s
 
-    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    t0_all = t0_ref[:, :]
+    live_all = t0_all > 0.0
+    t_ref[:, :] = jnp.where(live_all, t0_all, 0.0)
+    idx_ref[:, :] = jnp.zeros((brows, LANES), jnp.int32)
+    nx_ref[:, :] = jnp.zeros((brows, LANES), jnp.float32)
+    ny_ref[:, :] = jnp.zeros((brows, LANES), jnp.float32)
+    nz_ref[:, :] = jnp.zeros((brows, LANES), jnp.float32)
+    tu_ref[:, :] = jnp.zeros((brows, LANES), jnp.float32)
+    tv_ref[:, :] = jnp.zeros((brows, LANES), jnp.float32)
+    mat_ref[:, :] = jnp.zeros((brows, LANES), jnp.int32)
 
-    t_ref[:, :] = jnp.where(live, t0, 0.0)
-    idx_ref[:, :] = jnp.zeros((rows, LANES), jnp.int32)
-    nx_ref[:, :] = jnp.zeros((rows, LANES), jnp.float32)
-    ny_ref[:, :] = jnp.zeros((rows, LANES), jnp.float32)
-    nz_ref[:, :] = jnp.zeros((rows, LANES), jnp.float32)
-    tu_ref[:, :] = jnp.zeros((rows, LANES), jnp.float32)
-    tv_ref[:, :] = jnp.zeros((rows, LANES), jnp.float32)
-    mat_ref[:, :] = jnp.zeros((rows, LANES), jnp.int32)
+    def make_walk(w):
+        sl = pl.ds(w * rows, rows)
+        queue_ref = queue_refs[w]
+        ox, oy, oz = ox_ref[sl, :], oy_ref[sl, :], oz_ref[sl, :]
+        dx, dy, dz = dx_ref[sl, :], dy_ref[sl, :], dz_ref[sl, :]
+        live = t0_ref[sl, :] > 0.0
+        ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
-    def body(n):
-        # node fields are true scalar loads from SMEM broadcast into the
-        # vector op — the old VMEM-row + lane-extract formulation paid
-        # vector-pipeline stalls per step, and the walk is node-step-bound
-        # on incoherent waves
-        t_cur = t_ref[:, :]
-        if flat_nodes:
-            b6 = n * 6
-            bx = lambda k: box_ref[b6 + k]
-        else:
-            bx = lambda k: box_ref[n, k]
-        tx0 = (bx(0) - ox) * ix
-        tx1 = (bx(3) - ox) * ix
-        ty0 = (bx(1) - oy) * iy
-        ty1 = (bx(4) - oy) * iy
-        tz0 = (bx(2) - oz) * iz
-        tz1 = (bx(5) - oz) * iz
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        box_hit = live & (tn <= tf) & (tf > tmin) & (tn < t_cur)
-        if occlusion:
-            # occlusion mode: a found occluder zeroes the lane's t, which
-            # must kill it outright (tn can be negative when the origin
-            # sits inside a box, so tn < t_cur alone would keep expanding)
-            box_hit = box_hit & (t_cur > 0.0)
-        any_hit = jnp.sum(box_hit.astype(jnp.int32)) > 0
+        def descend(n, qi, t_cur, act):
+            # act: scalar bool — False parks the walk (cursor unchanged,
+            # no queue writes; its vector ops still issue and serve as
+            # overlap fodder for the partner walk's reduction drain).
+            # t_cur: the culling t carried in REGISTERS, refreshed from
+            # t_ref only at batch boundaries — a per-step t_ref load
+            # costs ~50 ns of unhidden VMEM latency (_step_probe3:
+            # 111 vs 44 ns/step); the staleness only ADDS box visits
+            # (strict-< leaf updates keep results bit-identical).
+            nc = jnp.minimum(n, n_nodes - 1)
+            # node fields are true scalar loads from SMEM broadcast into
+            # the vector op — the old VMEM-row + lane-extract formulation
+            # paid vector-pipeline stalls per step
+            if flat_nodes:
+                b6 = nc * 6
+                bx = lambda k: box_ref[b6 + k]
+            else:
+                bx = lambda k: box_ref[nc, k]
+            tx0 = (bx(0) - ox) * ix
+            tx1 = (bx(3) - ox) * ix
+            ty0 = (bx(1) - oy) * iy
+            ty1 = (bx(4) - oy) * iy
+            tz0 = (bx(2) - oz) * iz
+            tz1 = (bx(5) - oz) * iz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            box_hit = live & (tn <= tf) & (tf > tmin) & (tn < t_cur)
+            if occlusion:
+                # occlusion mode: a found occluder zeroes the lane's t,
+                # which must kill it outright (tn can be negative when the
+                # origin sits inside a box, so tn < t_cur alone would keep
+                # expanding)
+                box_hit = box_hit & (t_cur > 0.0)
+            any_hit = (jnp.sum(box_hit.astype(jnp.int32)) > 0) & act
 
-        if flat_nodes:
-            m3 = n * 3
-            mt = lambda k: meta_ref[m3 + k]
-        else:
-            mt = lambda k: meta_ref[n, k]
-        skip = mt(0)
-        start = mt(1)
-        count = mt(2)
-        is_leaf = count > 0
+            if flat_nodes:
+                m3 = nc * 3
+                mt = lambda k: meta_ref[m3 + k]
+            else:
+                mt = lambda k: meta_ref[nc, k]
+            skip = mt(0)
+            count = mt(2)
+            is_leaf = count > 0
+            put = any_hit & is_leaf
 
-        @pl.when(any_hit & is_leaf)
-        def _leaf():
-            base = start // TRIS_PER_ROW
-            trs = tris_ref[pl.ds(base, leaf_rows), :]  # (leaf_rows, 128)
-            t_best = t_ref[:, :]
-            if not occlusion:
-                idx_b = idx_ref[:, :]
-                nx_b = nx_ref[:, :]
-                ny_b = ny_ref[:, :]
-                nz_b = nz_ref[:, :]
-                tu_b = tu_ref[:, :]
-                tv_b = tv_ref[:, :]
-                mat_b = mat_ref[:, :]
-            for j in range(leaf_rows * TRIS_PER_ROW):
-                r = j // TRIS_PER_ROW
-                c0 = (j % TRIS_PER_ROW) * TRI_STRIDE
-                v0x, v0y, v0z = trs[r, c0], trs[r, c0 + 1], trs[r, c0 + 2]
-                e1x, e1y, e1z = trs[r, c0 + 3], trs[r, c0 + 4], trs[r, c0 + 5]
-                e2x, e2y, e2z = trs[r, c0 + 6], trs[r, c0 + 7], trs[r, c0 + 8]
-                # Moller-Trumbore with scalar triangle, vector rays
-                px_ = dy * e2z - dz * e2y
-                py_ = dz * e2x - dx * e2z
-                pz_ = dx * e2y - dy * e2x
-                det = e1x * px_ + e1y * py_ + e1z * pz_
-                ok = jnp.abs(det) > 1e-12
-                inv_det = 1.0 / jnp.where(ok, det, 1.0)
-                tvx = ox - v0x
-                tvy = oy - v0y
-                tvz = oz - v0z
-                uu = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
-                qx = tvy * e1z - tvz * e1y
-                qy = tvz * e1x - tvx * e1z
-                qz = tvx * e1y - tvy * e1x
-                vv = (dx * qx + dy * qy + dz * qz) * inv_det
-                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                valid = (
-                    ok & (j < count)
-                    & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                    & (tt > tmin) & (tt < t_best)
-                )
+            @pl.when(put)
+            def _enqueue():
+                queue_ref[qi] = nc
+
+            descend_ = any_hit & ~is_leaf
+            return (
+                jnp.where(descend_, nc + 1, jnp.where(act, skip, n)),
+                qi + put.astype(jnp.int32),
+            )
+
+        def process_queue(qn):
+            """Test the queued leaves' triangles: one uniform vector
+            batch, no reductions, t tightening sequentially per leaf.
+            The per-lane best state rides the fori carry in REGISTERS —
+            one ref read before and one write after the whole batch."""
+
+            def leaf_body(qj, carry):
+                n = queue_ref[qj]
+                if flat_nodes:
+                    m3 = n * 3
+                    mt = lambda k: meta_ref[m3 + k]
+                else:
+                    mt = lambda k: meta_ref[n, k]
+                start = mt(1)
+                count = mt(2)
+                base = start // TRIS_PER_ROW
+                trs = tris_ref[pl.ds(base, leaf_rows), :]  # (leaf_rows,128)
                 if occlusion:
-                    # occlusion query: the first occluder zeroes t — the
-                    # lane stops expanding boxes (see box_hit above) and
-                    # t=0 < t_init reads as "occluded" to the caller. No
-                    # attribute resolution at all in this mode.
-                    t_best = jnp.where(valid, 0.0, t_best)
-                    continue
-                t_best = jnp.where(valid, tt, t_best)
-                idx_b = jnp.where(valid, start + j, idx_b)
+                    (t_best,) = carry
+                elif defer_attrs:
+                    t_best, idx_b = carry
+                else:
+                    (t_best, idx_b, nx_b, ny_b, nz_b, tu_b, tv_b,
+                     mat_b) = carry
+                for j in range(leaf_rows * TRIS_PER_ROW):
+                    r = j // TRIS_PER_ROW
+                    c0 = (j % TRIS_PER_ROW) * TRI_STRIDE
+                    v0x, v0y, v0z = (trs[r, c0], trs[r, c0 + 1],
+                                     trs[r, c0 + 2])
+                    e1x, e1y, e1z = (trs[r, c0 + 3], trs[r, c0 + 4],
+                                     trs[r, c0 + 5])
+                    e2x, e2y, e2z = (trs[r, c0 + 6], trs[r, c0 + 7],
+                                     trs[r, c0 + 8])
+                    # Moller-Trumbore with scalar triangle, vector rays
+                    px_ = dy * e2z - dz * e2y
+                    py_ = dz * e2x - dx * e2z
+                    pz_ = dx * e2y - dy * e2x
+                    det = e1x * px_ + e1y * py_ + e1z * pz_
+                    ok = jnp.abs(det) > 1e-12
+                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                    tvx = ox - v0x
+                    tvy = oy - v0y
+                    tvz = oz - v0z
+                    uu = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    valid = (
+                        ok & (j < count)
+                        & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                        & (tt > tmin) & (tt < t_best)
+                    )
+                    if occlusion:
+                        # occlusion query: the first occluder zeroes t —
+                        # the lane stops expanding boxes (see box_hit in
+                        # descend) and t=0 < t_init reads as "occluded"
+                        # to the caller. No attribute resolution at all.
+                        t_best = jnp.where(valid, 0.0, t_best)
+                        continue
+                    t_best = jnp.where(valid, tt, t_best)
+                    idx_b = jnp.where(valid, start + j, idx_b)
+                    if defer_attrs:
+                        # leanest leaf loop: (t, slot) only; the caller
+                        # resolves normal/uv/mat with ONE packed row
+                        # gather from the slot table (the winner's
+                        # barycentrics recompute in ~10 vectorized XLA
+                        # ops) — ~20 VPU ops per tested triangle saved.
+                        continue
+                    # scalar geometric normal (cross of the scalar
+                    # edges) and scalar-coefficient uv interpolation
+                    gnx = e1y * e2z - e1z * e2y
+                    gny = e1z * e2x - e1x * e2z
+                    gnz = e1x * e2y - e1y * e2x
+                    nx_b = jnp.where(valid, gnx, nx_b)
+                    ny_b = jnp.where(valid, gny, ny_b)
+                    nz_b = jnp.where(valid, gnz, nz_b)
+                    tu_b = jnp.where(
+                        valid,
+                        trs[r, c0 + 10] + uu * trs[r, c0 + 12]
+                        + vv * trs[r, c0 + 14],
+                        tu_b,
+                    )
+                    tv_b = jnp.where(
+                        valid,
+                        trs[r, c0 + 11] + uu * trs[r, c0 + 13]
+                        + vv * trs[r, c0 + 15],
+                        tv_b,
+                    )
+                    mat_b = jnp.where(
+                        valid, trs[r, c0 + 9].astype(jnp.int32), mat_b
+                    )
+                if occlusion:
+                    return (t_best,)
                 if defer_attrs:
-                    # leanest leaf loop: (t, slot) only; the caller
-                    # resolves normal/uv/mat with ONE packed row gather
-                    # from the slot table (the winner's barycentrics
-                    # recompute in ~10 vectorized XLA ops) — ~20 VPU ops
-                    # per tested triangle saved in the hot loop.
-                    continue
-                # scalar geometric normal (cross of the scalar edges) and
-                # scalar-coefficient uv interpolation — the hit's shading
-                # attributes resolve here, no post-traversal gathers
-                gnx = e1y * e2z - e1z * e2y
-                gny = e1z * e2x - e1x * e2z
-                gnz = e1x * e2y - e1y * e2x
-                nx_b = jnp.where(valid, gnx, nx_b)
-                ny_b = jnp.where(valid, gny, ny_b)
-                nz_b = jnp.where(valid, gnz, nz_b)
-                tu_b = jnp.where(
-                    valid,
-                    trs[r, c0 + 10] + uu * trs[r, c0 + 12]
-                    + vv * trs[r, c0 + 14],
-                    tu_b,
-                )
-                tv_b = jnp.where(
-                    valid,
-                    trs[r, c0 + 11] + uu * trs[r, c0 + 13]
-                    + vv * trs[r, c0 + 15],
-                    tv_b,
-                )
-                mat_b = jnp.where(valid, trs[r, c0 + 9].astype(jnp.int32),
-                                  mat_b)
-            t_ref[:, :] = t_best
+                    return (t_best, idx_b)
+                return (t_best, idx_b, nx_b, ny_b, nz_b, tu_b, tv_b,
+                        mat_b)
+
+            if occlusion:
+                carry0 = (t_ref[sl, :],)
+            elif defer_attrs:
+                carry0 = (t_ref[sl, :], idx_ref[sl, :])
+            else:
+                carry0 = (t_ref[sl, :], idx_ref[sl, :], nx_ref[sl, :],
+                          ny_ref[sl, :], nz_ref[sl, :], tu_ref[sl, :],
+                          tv_ref[sl, :], mat_ref[sl, :])
+            out = lax.fori_loop(0, qn, leaf_body, carry0)
+            t_ref[sl, :] = out[0]
             if not occlusion:
-                idx_ref[:, :] = idx_b
+                idx_ref[sl, :] = out[1]
                 if not defer_attrs:
-                    nx_ref[:, :] = nx_b
-                    ny_ref[:, :] = ny_b
-                    nz_ref[:, :] = nz_b
-                    tu_ref[:, :] = tu_b
-                    tv_ref[:, :] = tv_b
-                    mat_ref[:, :] = mat_b
+                    nx_ref[sl, :] = out[2]
+                    ny_ref[sl, :] = out[3]
+                    nz_ref[sl, :] = out[4]
+                    tu_ref[sl, :] = out[5]
+                    tv_ref[sl, :] = out[6]
+                    mat_ref[sl, :] = out[7]
 
-        descend = any_hit & ~is_leaf
-        return jnp.where(descend, n + 1, skip)
+        return descend, process_queue
 
-    @pl.when(flags_ref[tile, 0] != 0)
+    walks = [make_walk(w) for w in range(pair)]
+    fl = lambda w, k: flags_ref[gtile * pair + w, k]
+    actives = [fl(w, 0) != 0 for w in range(pair)]
+    any_live = actives[0]
+    for w in range(1, pair):
+        any_live = any_live | actives[w]
+
+    @pl.when(any_live)
     def _walk():
-        # Hint-first restart: walk the tile's majority coarse cell's
-        # fine subtree [hs, he) FIRST — most lanes find their closest hit
-        # there, so the full walk below starts with a tight per-lane t
-        # and prunes most of the tree (nearest-first ordering the plain
-        # threaded DFS lacks). Phase 2 jumps over the already-walked
-        # range (a subtree is DFS-contiguous, so any entry lands exactly
-        # at hs); revisiting node hs itself once is idempotent (strict
-        # t-improvement updates only).
-        hs = flags_ref[tile, 1]
-        he = flags_ref[tile, 2]
-        lax.while_loop(lambda n: n < he, body, hs)
+        # Hint-first restart: each walk visits its tile's majority coarse
+        # cell's fine subtree [hs, he) FIRST — most lanes find their
+        # closest hit there, so the full walk below starts with a tight
+        # per-lane t and prunes most of the tree (nearest-first ordering
+        # the plain threaded DFS lacks). Phase 2 jumps over the already-
+        # walked range (a subtree is DFS-contiguous, so any entry lands
+        # exactly at hs); revisiting node hs itself once is idempotent
+        # (strict t-improvement updates only). A finished (or dead) walk
+        # parks its cursor while its partner continues.
+        hs = [fl(w, 1) for w in range(pair)]
+        he = [fl(w, 2) for w in range(pair)]
 
-        def body2(n):
-            nxt = body(n)
-            return jnp.where((n == hs) & (he > hs), he, nxt)
+        def run_phase(limits, n_init, jump):
+            """Paired descent with batch pauses: the inner loop advances
+            every unparked walk until its queue fills (or it finishes);
+            the outer loop drains all queues, refreshes the register-
+            carried culling t from t_ref, and resumes."""
 
-        lax.while_loop(lambda n: n < n_nodes, body2, jnp.int32(0))
+            def icond(c):
+                ns, qis = c[0], c[1]
+                r = (ns[0] < limits[0]) & (qis[0] < queue_cap)
+                for w in range(1, pair):
+                    r = r | ((ns[w] < limits[w]) & (qis[w] < queue_cap))
+                return r
+
+            def ibody(c):
+                ns, qis, tcs = c
+                n_out, q_out = [], []
+                for w in range(pair):
+                    act = (ns[w] < limits[w]) & (qis[w] < queue_cap)
+                    n2, q2 = walks[w][0](ns[w], qis[w], tcs[w], act)
+                    if jump:
+                        n2 = jnp.where(
+                            act & (ns[w] == hs[w]) & (he[w] > hs[w]),
+                            he[w], n2,
+                        )
+                    n_out.append(n2)
+                    q_out.append(q2)
+                return tuple(n_out), tuple(q_out), tcs
+
+            def ocond(c):
+                ns = c[0]
+                r = ns[0] < limits[0]
+                for w in range(1, pair):
+                    r = r | (ns[w] < limits[w])
+                return r
+
+            def obody(c):
+                ns, _, tcs = c
+                c2 = lax.while_loop(
+                    icond, ibody,
+                    (ns, tuple(jnp.int32(0) for _ in range(pair)), tcs),
+                )
+                ns2, qis2, _ = c2
+                for w in range(pair):
+                    walks[w][1](qis2[w])
+                tcs2 = tuple(
+                    t_ref[pl.ds(w * rows, rows), :] for w in range(pair)
+                )
+                return ns2, qis2, tcs2
+
+            tcs0 = tuple(
+                t_ref[pl.ds(w * rows, rows), :] for w in range(pair)
+            )
+            lax.while_loop(
+                ocond, obody,
+                (n_init, tuple(jnp.int32(0) for _ in range(pair)), tcs0),
+            )
+
+        run_phase(
+            he,
+            tuple(jnp.where(actives[w], hs[w], he[w]) for w in range(pair)),
+            jump=False,
+        )
+        run_phase(
+            [jnp.int32(n_nodes)] * pair,
+            tuple(jnp.where(actives[w], 0, n_nodes).astype(jnp.int32)
+                  for w in range(pair)),
+            jump=True,
+        )
 
     # normalize the winning normal (n_geom convention, models/mesh.py)
     if not occlusion:
@@ -494,13 +663,14 @@ def _packet_kernel(
 @functools.partial(
     jax.jit, static_argnames=("rows_total", "tile_rows", "n_nodes",
                               "leaf_rows", "tmin", "any_hit", "flat_nodes",
-                              "defer_attrs", "interpret"),
+                              "defer_attrs", "pair", "interpret"),
 )
 def _run_packet(flags, nodes, tri_rows, o_planes, d_planes, t0_plane,
                 rows_total, tile_rows, n_nodes, leaf_rows, tmin,
                 any_hit=False, flat_nodes=True, defer_attrs=False,
-                interpret=False):
-    lane_spec = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0))
+                pair=1, interpret=False):
+    lane_spec = pl.BlockSpec((pair * tile_rows, LANES),
+                             lambda i, *_: (i, 0))
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i, *_: (0, 0),
                                     memory_space=pltpu.VMEM)
     # Node fields are read as per-step scalars; SMEM makes those true
@@ -525,14 +695,16 @@ def _run_packet(flags, nodes, tri_rows, o_planes, d_planes, t0_plane,
     kernel = functools.partial(
         _packet_kernel, rows=tile_rows, n_nodes=n_nodes,
         leaf_rows=leaf_rows, tmin=tmin, occlusion=any_hit,
-        flat_nodes=flat_nodes, defer_attrs=defer_attrs,
+        flat_nodes=flat_nodes, defer_attrs=defer_attrs, pair=pair,
+        queue_cap=QUEUE_CAP,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(rows_total // tile_rows,),
+        grid=(rows_total // (pair * tile_rows),),
         in_specs=[node(box), node(meta), full(tri_rows)]
         + [lane_spec] * 7,
         out_specs=[lane_spec] * 8,
+        scratch_shapes=[pltpu.SMEM((QUEUE_CAP,), jnp.int32)] * pair,
     )
     f32 = jnp.float32
     return pl.pallas_call(
@@ -554,25 +726,30 @@ def _run_packet(flags, nodes, tri_rows, o_planes, d_planes, t0_plane,
 
 def _bin_kernel(
     flags_ref,  # scalar prefetch: (n_tiles,) int32 — any live lane?
-    box_ref,  # coarse node AABBs (flat SMEM or 2-D VMEM, as _packet_kernel)
-    meta_ref,  # [skip start count] per coarse node
+    cbox_ref,  # (C*6,) f32 leaf-cell AABBs [min3 max3] flat — SMEM
+    cid_ref,  # (C,) int32 leaf-cell node ids (DFS order) — SMEM
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (rows, 128)
     t0_ref,  # (rows, 128) per-lane pruning distance; <= 0 marks dead
     cell_ref,  # OUT (rows, 128) int32: nearest coarse-leaf node id, -1 none
-    tn_ref,  # OUT (rows, 128) f32: its clamped entry distance (scratch)
+    tn_ref,  # OUT (rows, 128) f32: its clamped entry distance
     *,
     rows: int,
-    n_nodes: int,
+    n_cells: int,
     tmin: float,
-    flat_nodes: bool,
 ):
-    """Box-only binning walk: per lane, the coarse leaf whose box the ray
-    enters NEAREST (clamped entry distance, ties first-in-DFS-order wins),
-    among leaves entered strictly before t0. Lanes entering no coarse leaf
-    provably have no mesh hit before t0 — the caller culls them from the
-    fine walk entirely. Prunes per lane on min(t0, best-so-far): a box
-    entered beyond the current best leaf entry cannot contain a nearer
-    leaf (child entry >= parent entry)."""
+    """Box-only binning as a LINEAR LEAF-CELL SWEEP: per lane, the coarse
+    leaf whose box the ray enters NEAREST (clamped entry distance, ties
+    first-in-DFS-order wins), among leaves entered strictly before t0.
+    Lanes entering no coarse leaf provably have no mesh hit before t0 —
+    the caller culls them from the fine walk entirely.
+
+    No tree walk: a fori over the few-hundred leaf cells with the best
+    (tn, cell) carried in registers — pure vector dataflow, zero
+    any-lane reductions. The walking formulation paid ~171 ns/node for
+    its per-step vector->scalar drain (benchmarks/_step_probe.py); the
+    sweep tests every cell for ~40 ns each, which at C ~ a few hundred
+    is ~5x cheaper and bit-identical (the walk's subtree pruning only
+    skips tests that strict-< updates would reject anyway)."""
     tile = pl.program_id(0)
     ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
     dx, dy, dz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
@@ -587,50 +764,43 @@ def _bin_kernel(
     cell_ref[:, :] = jnp.full((rows, LANES), -1, jnp.int32)
     tn_ref[:, :] = jnp.full((rows, LANES), BIG, jnp.float32)
 
-    def body(n):
-        best = tn_ref[:, :]
-        if flat_nodes:
-            b6 = n * 6
-            bx = lambda k: box_ref[b6 + k]
-            m3 = n * 3
-            mt = lambda k: meta_ref[m3 + k]
-        else:
-            bx = lambda k: box_ref[n, k]
-            mt = lambda k: meta_ref[n, k]
-        tx0 = (bx(0) - ox) * ix
-        tx1 = (bx(3) - ox) * ix
-        ty0 = (bx(1) - oy) * iy
-        ty1 = (bx(4) - oy) * iy
-        tz0 = (bx(2) - oz) * iz
-        tz1 = (bx(5) - oz) * iz
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        t_cur = jnp.minimum(t0, best)
-        box_hit = live & (tn <= tf) & (tf > tmin) & (tn < t_cur)
-        any_hit = jnp.sum(box_hit.astype(jnp.int32)) > 0
-        skip = mt(0)
-        count = mt(2)
-        is_leaf = count > 0
-
-        @pl.when(any_hit & is_leaf)
-        def _leaf():
-            tn_eff = jnp.maximum(tn, 0.0)
-            better = box_hit & (tn_eff < tn_ref[:, :])
-            tn_ref[:, :] = jnp.where(better, tn_eff, tn_ref[:, :])
-            cell_ref[:, :] = jnp.where(better, n, cell_ref[:, :])
-
-        descend = any_hit & ~is_leaf
-        return jnp.where(descend, n + 1, skip)
-
     @pl.when(flags_ref[tile] != 0)
-    def _walk():
-        lax.while_loop(lambda n: n < n_nodes, body, jnp.int32(0))
+    def _sweep():
+        def body(c, carry):
+            best, cell = carry
+            b6 = c * 6
+            bx = lambda k: cbox_ref[b6 + k]
+            tx0 = (bx(0) - ox) * ix
+            tx1 = (bx(3) - ox) * ix
+            ty0 = (bx(1) - oy) * iy
+            ty1 = (bx(4) - oy) * iy
+            tz0 = (bx(2) - oz) * iz
+            tz1 = (bx(5) - oz) * iz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            tn_eff = jnp.maximum(tn, 0.0)
+            better = (
+                live & (tn <= tf) & (tf > tmin)
+                & (tn < jnp.minimum(t0, best)) & (tn_eff < best)
+            )
+            return (
+                jnp.where(better, tn_eff, best),
+                jnp.where(better, cid_ref[c], cell),
+            )
+
+        best, cell = lax.fori_loop(
+            0, n_cells, body,
+            (jnp.full((rows, LANES), BIG, jnp.float32),
+             jnp.full((rows, LANES), -1, jnp.int32)),
+        )
+        tn_ref[:, :] = best
+        cell_ref[:, :] = cell
 
 
 @functools.partial(
@@ -663,26 +833,29 @@ def bin_rays(
         (t0_plane > 0.0).reshape(n_tiles, tile_rows * LANES), axis=1
     ).astype(jnp.int32)
 
-    flat_nodes = 36 * n_nodes <= SMEM_NODE_BUDGET
-    if flat_nodes:
-        node = lambda arr: pl.BlockSpec(arr.shape, lambda i, *_: (0,),
-                                        memory_space=pltpu.SMEM)
-        box = coarse.nodes[:, 0:6].reshape(-1)
-        meta = coarse.nodes[:, 6:9].astype(jnp.int32).reshape(-1)
+    if coarse.cell_boxes is not None:
+        cbox, cid = coarse.cell_boxes, coarse.cell_ids
     else:
-        node = lambda arr: pl.BlockSpec(arr.shape, lambda i, *_: (0, 0),
-                                        memory_space=pltpu.VMEM)
-        box = coarse.nodes[:, 0:6]
-        meta = coarse.nodes[:, 6:9].astype(jnp.int32)
+        # coarse tree packed before the cell tables existed: derive them
+        # (counts live in nodes[:, 8]; concrete under jit via pure_callback
+        # is overkill — callers always come through pack_mesh, which fills
+        # the tables; this path exists for hand-built PackedMesh values)
+        counts = np.asarray(coarse.nodes[:, 8])
+        sel = np.nonzero(counts > 0)[0]
+        nb = np.asarray(coarse.nodes)
+        cbox = jnp.asarray(nb[sel, 0:6].reshape(-1), jnp.float32)
+        cid = jnp.asarray(sel, jnp.int32)
+    n_cells = int(cid.shape[0])
+    node = lambda arr: pl.BlockSpec(arr.shape, lambda i, *_: (0,),
+                                    memory_space=pltpu.SMEM)
     kernel = functools.partial(
-        _bin_kernel, rows=tile_rows, n_nodes=n_nodes, tmin=tmin,
-        flat_nodes=flat_nodes,
+        _bin_kernel, rows=tile_rows, n_cells=n_cells, tmin=tmin,
     )
     lane_spec = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[node(box), node(meta)] + [lane_spec] * 7,
+        in_specs=[node(cbox), node(cid)] + [lane_spec] * 7,
         out_specs=[lane_spec] * 2,
     )
     cell, tn = pl.pallas_call(
@@ -693,7 +866,7 @@ def bin_rays(
             jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(flags, box, meta, *o_planes, *d_planes, t0_plane)
+    )(flags, cbox, cid, *o_planes, *d_planes, t0_plane)
     return cell.reshape(-1)[:n], tn.reshape(-1)[:n]
 
 
@@ -865,7 +1038,10 @@ def intersect_mesh_packet(
             mat=jnp.take(hit.mat, inv),
         )
     tile_lanes = tile_rows * LANES
-    n_tiles = -(-n // tile_lanes)
+    # pair-of-tiles kernel instances (see _packet_kernel): round the tile
+    # count up to a WALK_PAIR multiple; padded tiles are all-dead and
+    # their walks park immediately
+    n_tiles = -(-(-(-n // tile_lanes)) // WALK_PAIR) * WALK_PAIR
     rows_total = n_tiles * tile_rows
     pad = rows_total * LANES - n
 
@@ -882,6 +1058,8 @@ def intersect_mesh_packet(
     ).astype(jnp.int32)
     if hints is None:
         hints = jnp.zeros((n_tiles, 2), jnp.int32)
+    elif hints.shape[0] < n_tiles:  # caller built hints pre-pair-padding
+        hints = jnp.pad(hints, ((0, n_tiles - hints.shape[0]), (0, 0)))
     flags = jnp.concatenate([live_flag[:, None], hints], axis=1)
 
     leaf_rows = max(1, -(-packed.leaf_size // TRIS_PER_ROW))
@@ -890,7 +1068,7 @@ def intersect_mesh_packet(
         rows_total, tile_rows, packed.num_nodes, leaf_rows, tmin,
         any_hit=any_hit,
         flat_nodes=36 * packed.num_nodes <= SMEM_NODE_BUDGET,
-        defer_attrs=defer_attrs, interpret=interpret,
+        defer_attrs=defer_attrs, pair=WALK_PAIR, interpret=interpret,
     )
 
     def unplane(a):

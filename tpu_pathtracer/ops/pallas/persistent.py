@@ -244,10 +244,15 @@ def _persistent_kernel(
     # One PRNG stream per (seed, frame, global tile); all of the frame's
     # draws stream sequentially from it. tile_offset makes sharded multi-
     # chip runs draw the same stream a single device would for that tile.
-    _seed_streams(
-        seed_ref[0], seed_ref[1], tile + seed_ref[3], seed_ref[2],
-        jnp.int32(0),
-    )
+    # external_rng supplies every draw from outside — skip the seeding so
+    # the kernel also runs under the GENERIC pallas interpreter (which has
+    # no prng_seed rule; the Mosaic interpreter's cross-device barrier
+    # deadlocks when a mesh spans real processes, tests/test_multihost_*).
+    if not external_rng:
+        _seed_streams(
+            seed_ref[0], seed_ref[1], tile + seed_ref[3], seed_ref[2],
+            jnp.int32(0),
+        )
 
     def _safe_inv3(dx, dy, dz):
         def si(a):
@@ -1243,7 +1248,9 @@ def persistent_step(
         ],
         # The TPU-aware interpreter lets the default CPU suite run this
         # kernel (with external_rng supplying the uniforms).
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=(True if interpret == "generic"
+                   else pltpu.InterpretParams() if interpret
+                   else False),
     )(
         seed4, prims, cam_packed, lights_tab,
         *mesh_inputs,

@@ -204,10 +204,14 @@ def _preplay_kernel(
     px = (lane % width).astype(jnp.float32)
     py = (lane // width).astype(jnp.float32)
 
-    _seed_streams(
-        seed_ref[0], seed_ref[3], tile + seed_ref[2], seed_ref[1],
-        jnp.int32(0),
-    )
+    if not external_rng:
+        # external_rng supplies every draw; skipping the seed lets the
+        # kernel run under the GENERIC pallas interpreter too (multihost
+        # CPU tests — the Mosaic interpreter barriers across processes)
+        _seed_streams(
+            seed_ref[0], seed_ref[3], tile + seed_ref[2], seed_ref[1],
+            jnp.int32(0),
+        )
 
     if mesh:
         mesh_walk = make_mesh_walk(
@@ -1312,7 +1316,9 @@ def persistent_replay_call(
             jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
             *([lane_f32] * (3 * spp) if tex_grad else []),
         ],
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=(True if interpret == "generic"
+                   else pltpu.InterpretParams() if interpret
+                   else False),
     )(
         seed4, prims, cam_packed, lights_tab,
         *mesh_inputs,
@@ -1373,7 +1379,9 @@ def persistent_replay_call(
             functools.partial(kernel, scatter_mode=True),
             grid_spec=sc_grid_spec,
             out_shape=[jax.ShapeDtypeStruct(texT.shape, jnp.float32)],
-            interpret=pltpu.InterpretParams() if interpret else False,
+            interpret=(True if interpret == "generic"
+                   else pltpu.InterpretParams() if interpret
+                   else False),
         )(
             seed4, prims, cam_packed, lights_tab,
             *mesh_inputs,
