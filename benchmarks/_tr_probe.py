@@ -56,10 +56,10 @@ def main():
             return out
         return fn
 
-    for tr in (16,):
+    for tr in (8, 16):
         print(f"incoherent closest tile_rows {tr}: "
               f"{slope(wave(o_inc, d_inc, tr)):6.1f} ms", flush=True)
-    for tr in (16,):
+    for tr in (8, 16):
         print(f"incoherent any-hit tile_rows {tr}: "
               f"{slope(wave(o_inc, d_inc, tr, any_hit=True)):6.1f} ms",
               flush=True)

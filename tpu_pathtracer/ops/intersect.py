@@ -123,11 +123,16 @@ def intersect_p(
             t_init = jnp.where(occluded, 0.0, tmax_arr)
             if mask is not None:
                 t_init = jnp.where(mask, t_init, 0.0)
+            from tpu_pathtracer.ops.pallas.mesh_kernel import (
+                ANY_HIT_TILE_ROWS,
+            )
+
             coarse = scene.mesh_packed_coarse
             ph = intersect_mesh_packet(
                 scene.mesh_packed, o, d, tmin=tmin, t_init=t_init,
                 sort=(not presorted) or coarse is not None,
                 any_hit=True, coarse=coarse,
+                tile_rows=ANY_HIT_TILE_ROWS,
             )
             occluded = occluded | (ph.t < tmax_arr)
             if mask is not None:
@@ -232,9 +237,13 @@ def _merge_mesh_hit(scene, o, d, tmin, alive,
         if alive is not None:
             t_init = jnp.where(alive, t_init, 0.0)
         coarse = scene.mesh_packed_coarse
+        # want_tri=False: hit.prim only needs to read as "some mesh prim"
+        # (every consumer tests prim >= sphere-count); the padded slot id
+        # serves, and skipping the remap saves a 1-D gather per wave
         ph = intersect_mesh_packet(
             scene.mesh_packed, o, d, tmin=tmin, t_init=t_init,
             sort=(not presorted) or coarse is not None, coarse=coarse,
+            want_tri=False,
         )
         closer = ph.t < t
         tn = ph.n

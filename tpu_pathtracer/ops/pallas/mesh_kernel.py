@@ -79,11 +79,18 @@ TRI_STRIDE = 16  # floats per triangle slot
 # pipeline (~171 ns); a partner walk's independent vector work overlaps
 # the drain (73 ns/step at 2, benchmarks/_step_probe.py). Results are
 # bit-identical for any value.
-WALK_PAIR = 2
+WALK_PAIR = 4
 # Leaf visits queued per walk before a descent pause drains them as one
 # uniform vector batch (see _packet_kernel). Larger = fewer pauses but
 # staler t-tightening in the descent's box culling (more visits).
-QUEUE_CAP = 16
+# Swept on the config-4 incoherent wave (round 5): pair 4 + cap 4 beat
+# {pair 2, caps 2..64} — small batches keep culling t fresh and 4-way
+# interleaving hides the extra pause overhead.
+QUEUE_CAP = 4
+# Occlusion (shadow) waves run lighter leaves and favor SMALLER tiles:
+# 8-row tiles cut the broadcast waste where the walk isn't step-bound
+# (12.3 vs 14.1 ms on the full-intensity any-hit probe).
+ANY_HIT_TILE_ROWS = 8
 
 
 @flax.struct.dataclass
@@ -470,13 +477,18 @@ def _packet_kernel(
                                      trs[r, c0 + 5])
                     e2x, e2y, e2z = (trs[r, c0 + 6], trs[r, c0 + 7],
                                      trs[r, c0 + 8])
-                    # Moller-Trumbore with scalar triangle, vector rays
+                    # Moller-Trumbore with scalar triangle, vector
+                    # rays. No explicit det!=0 guard: det==0 makes
+                    # inv_det inf, so uu/vv/tt come out +-inf or NaN and
+                    # every such lane fails the window compares below
+                    # (NaN compares false; tt=-inf fails tt > tmin) —
+                    # IEEE semantics do the masking for free (~4 vector
+                    # ops per triangle saved)
                     px_ = dy * e2z - dz * e2y
                     py_ = dz * e2x - dx * e2z
                     pz_ = dx * e2y - dy * e2x
                     det = e1x * px_ + e1y * py_ + e1z * pz_
-                    ok = jnp.abs(det) > 1e-12
-                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                    inv_det = 1.0 / det
                     tvx = ox - v0x
                     tvy = oy - v0y
                     tvz = oz - v0z
@@ -487,7 +499,7 @@ def _packet_kernel(
                     vv = (dx * qx + dy * qy + dz * qz) * inv_det
                     tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                     valid = (
-                        ok & (j < count)
+                        (j < count)
                         & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                         & (tt > tmin) & (tt < t_best)
                     )
@@ -918,9 +930,17 @@ def intersect_mesh_packet(
     coarse: PackedMesh | None = None,
     defer_attrs: bool = True,
     hints: Array | None = None,
+    want_tri: bool = True,
     interpret: bool = False,
 ) -> PacketHit:
     """Packet-traversal closest hit with in-kernel attribute resolution.
+
+    want_tri=False returns the padded SLOT id (post-BVH-reorder) in
+    PacketHit.tri instead of the original MeshData triangle id, skipping
+    the remap gather (a 1-D gather = ~0.7 ms of per-element scalar loads
+    at config-4 wave size). Every integrator/diff consumer only tests
+    prim >= sphere-count, so the render path runs with want_tri=False;
+    ask for True when original tri identity matters.
 
     o, d: (N, 3). t_init (N,), optional: per-lane starting hit distance —
     the walk only finds hits strictly CLOSER than it (pass the sphere-pass
@@ -990,20 +1010,36 @@ def intersect_mesh_packet(
         perm = jnp.argsort(key)
         in_hints = None
         if coarse is not None and coarse.fine_map is not None:
-            # per-tile hint = first (post-sort) lane's coarse cell mapped
-            # to its fine-subtree node range — the fine walk descends it
-            # first (nearest-first t tightening)
+            # per-tile hint = the SPAN of the tile's lanes' coarse cells
+            # [cmin..cmax] mapped to fine-tree node ranges (cells are the
+            # sort major key, so a tile's cells are contiguous and their
+            # fine subtrees are one DFS range). The fine walk descends
+            # the whole span first: near-optimal nearest-first
+            # t-tightening for EVERY lane, not only the first lane's
+            # cell (round-4 behavior), and phase 2 then prunes almost
+            # everything. Span bounds come from a VALUE sort of the keys
+            # (~0.1 ms) — no full-lane gather needed.
             tile_lanes = tile_rows * LANES
-            hcell = jnp.take(cell, perm[::tile_lanes])
-            hrange = jnp.take(
-                coarse.fine_map, jnp.clip(hcell, 0, None), axis=0
+            n_t = -(-n // tile_lanes)
+            skey = jnp.sort(key)
+            skey = jnp.pad(skey, (0, n_t * tile_lanes - n),
+                           constant_values=jnp.int32(1 << 26))
+            skey = skey.reshape(n_t, tile_lanes)
+            cell_s = skey >> 9  # key = ((cell*8 + oct) << 6) | tq
+            valid_s = skey < (1 << 26)
+            cmin = jnp.where(valid_s[:, 0], cell_s[:, 0], -1)
+            cmax = jnp.max(jnp.where(valid_s, cell_s, -1), axis=1)
+            lo = jnp.take(coarse.fine_map[:, 0], jnp.clip(cmin, 0, None))
+            hi = jnp.take(coarse.fine_map[:, 1], jnp.clip(cmax, 0, None))
+            in_hints = jnp.where(
+                (cmin >= 0)[:, None], jnp.stack([lo, hi], axis=1), 0
             )
-            in_hints = jnp.where(hcell[:, None] >= 0, hrange, 0)
-        # inverse permutation by scatter — ~20% cheaper than a second
-        # argsort (benchmarks/profile_mesh_pieces.py)
-        inv = jnp.zeros_like(perm).at[perm].set(
-            jnp.arange(perm.shape[0], dtype=perm.dtype)
-        )
+        # inverse permutation via a second argsort: XLA:TPU's sort at
+        # this size (~0.1 ms at 98k) beats the row-scatter formulation
+        # (~1 ms) — the round-2 "scatter is 20% cheaper" measurement
+        # predates the two-pass path and no longer holds (re-measured
+        # round 5, benchmarks/_machinery_probe.py)
+        inv = jnp.argsort(perm)
         # One packed (N, 7) row gather instead of 3 separate takes (the
         # same trick as the integrator's bounce-level carry permute).
         packed_rays = jnp.take(
@@ -1013,16 +1049,21 @@ def intersect_mesh_packet(
             packed, packed_rays[:, 0:3], packed_rays[:, 3:6],
             tmin, tile_rows=tile_rows, sort=False,
             t_init=packed_rays[:, 6], any_hit=any_hit,
-            defer_attrs=defer_attrs, hints=in_hints, interpret=interpret,
+            defer_attrs=defer_attrs, hints=in_hints, want_tri=want_tri,
+            interpret=interpret,
         )
-        t_u = jnp.take(hit.t, inv)
-        if coarse is not None:
-            # culled live lanes have no mesh hit before t_init: restore
-            # the caller's "no closer hit" convention (inner saw t0=0)
-            t_u = jnp.where(live & ~has, t_init, t_u)
         if any_hit:
             # occlusion queries only consume t; tri/n/uv/mat are zeros by
-            # construction — skip their un-permutes entirely
+            # construction — skip their un-permutes entirely. The take
+            # goes through a (N, 1) 2-D shape: XLA lowers a 1-D gather
+            # to per-element scalar-memory loads (~0.7 ms at this size)
+            # but a row gather to the fast vector path.
+            t_u = jnp.take(hit.t[:, None], inv, axis=0)[:, 0]
+            if coarse is not None:
+                # culled live lanes have no mesh hit before t_init:
+                # restore the caller's "no closer hit" convention (the
+                # inner call saw t0=0)
+                t_u = jnp.where(live & ~has, t_init, t_u)
             return PacketHit(
                 t=t_u,
                 tri=jnp.zeros((n,), jnp.int32),
@@ -1030,12 +1071,32 @@ def intersect_mesh_packet(
                 uv=jnp.zeros((n, 2), jnp.float32),
                 mat=jnp.zeros((n,), jnp.int32),
             )
+        # ONE packed (N, 8) row un-permute for all outputs. A 1-D gather
+        # on TPU lowers to per-element scalar loads (~0.7 ms EACH at
+        # config-4 wave size — they were 5 of the frame's top-10 ops,
+        # benchmarks/_machinery_probe.py + the round-5 device trace);
+        # a 2-D row gather costs the same once, not per array. Ints ride
+        # as bitcasts (exact).
+        bc = lambda a: lax.bitcast_convert_type(a, jnp.float32)[:, None]
+        po = jnp.take(
+            jnp.concatenate(
+                [hit.t[:, None], bc(hit.tri), hit.n, hit.uv, bc(hit.mat)],
+                axis=1,
+            ),
+            inv, axis=0,
+        )
+        t_u = po[:, 0]
+        if coarse is not None:
+            # culled live lanes have no mesh hit before t_init: restore
+            # the caller's "no closer hit" convention (inner saw t0=0)
+            t_u = jnp.where(live & ~has, t_init, t_u)
+        ibc = lambda a: lax.bitcast_convert_type(a, jnp.int32)
         return PacketHit(
             t=t_u,
-            tri=jnp.take(hit.tri, inv),
-            n=jnp.take(hit.n, inv, axis=0),
-            uv=jnp.take(hit.uv, inv, axis=0),
-            mat=jnp.take(hit.mat, inv),
+            tri=ibc(po[:, 1]),
+            n=po[:, 2:5],
+            uv=po[:, 5:7],
+            mat=ibc(po[:, 7]),
         )
     tile_lanes = tile_rows * LANES
     # pair-of-tiles kernel instances (see _packet_kernel): round the tile
@@ -1089,9 +1150,10 @@ def intersect_mesh_packet(
             uv=jnp.zeros((n, 2), jnp.float32), mat=z,
         )
     idx = unplane(idx)
+    idx_c = jnp.clip(idx, 0, packed.remap.shape[0] - 1)
     tri = jnp.where(
         found,
-        jnp.take(packed.remap, jnp.clip(idx, 0, packed.remap.shape[0] - 1)),
+        jnp.take(packed.remap, idx_c) if want_tri else idx_c,
         0,
     )
     if defer_attrs:
