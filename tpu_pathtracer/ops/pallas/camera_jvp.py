@@ -30,10 +30,13 @@ tests/test_gradients.py::test_grad_camera_pose_matches_fd_edge_free):
 
 Scope: sphere AND mesh scenes (the shared in-kernel BVH walk,
 ops/pallas/_walk.py — flat triangles contribute dn = 0, so the IFT
-position tangent is the only new geometry term), brute-force or
-point-light NEE transport, no DOF, untextured. Sphere-area/tri-light
-NEE, DOF and textured scenes route to the XLA attached-autodiff path —
-the estimator is identical, only slower.
+position tangent is the only new geometry term); brute-force AND full
+NEE+MIS transport with point, sphere-area and TRI_LIGHT lights
+(round 5: attached cone/solid-angle sampling tangents, attached light
+pdfs and MIS weights, detached occlusion/selection — the transports
+every flagship scene actually uses). Not covered: DOF lens sampling
+and textured materials — those route to the XLA attached-autodiff
+path, which implements the identical estimator, only slower.
 """
 from __future__ import annotations
 
@@ -88,11 +91,11 @@ def _cjvp_kernel(
     mesh_nodes: int = 0,
     leaf_rows: int = 1,
     mat_types: tuple = (),
-    tri_lights_static: tuple = (),  # ((light_idx, mat_id), ...) — emission
+    tri_lights_static: tuple = (),  # ((light_idx, mat_id, off, K), ...)
 ):
     if mesh:
-        matm_ref, mbox_ref, mmeta_ref, mtris_ref = refs[:4]
-        refs = refs[4:]
+        matm_ref, mbox_ref, mmeta_ref, tl_ref, mtris_ref = refs[:5]
+        refs = refs[5:]
     rng_ref = refs[0] if external_rng else None
     n_in = 1 if external_rng else 0
     outs = refs[n_in:]
@@ -150,6 +153,11 @@ def _cjvp_kernel(
     tCr, tCg, tCb = vz3()
     bounce = jnp.zeros(shape, jnp.int32)
     alive = jnp.zeros(shape, jnp.bool_)
+    # MIS carry (NEE transports): the BSDF pdf that produced the pending
+    # ray is DETACHED (a sampling quantity, integrator.py:322), so it
+    # carries no tangent; delta-ness is a flag
+    prev_pdf = fzeros
+    prev_delta = jnp.zeros(shape, jnp.bool_)
     n_live = jnp.zeros((), jnp.int32)
     kk = strat_k * strat_k
     n_draw = 2 + 3 + (3 if use_nee else 0)
@@ -220,6 +228,8 @@ def _cjvp_kernel(
         Tb = jnp.where(regen, 1.0, Tb)
         Cr = Cr * keep; Cg = Cg * keep; Cb = Cb * keep
         bounce = jnp.where(regen, 0, bounce)
+        prev_pdf = jnp.where(regen, 0.0, prev_pdf)
+        prev_delta = prev_delta | regen  # primaries take full credit
         alive = alive | regen
         n_live = n_live + jnp.sum(alive.astype(jnp.int32))
 
@@ -317,7 +327,7 @@ def _cjvp_kernel(
             er = jnp.where(mesh_closer, 0.0, er)
             eg = jnp.where(mesh_closer, 0.0, eg)
             eb = jnp.where(mesh_closer, 0.0, eb)
-            for (li, lmat) in tri_lights_static:
+            for (li, lmat, _off, _K) in tri_lights_static:
                 m_mask = mesh_closer & (mmat == lmat)
                 er = jnp.where(m_mask, lights_ref[li, 3], er)
                 eg = jnp.where(m_mask, lights_ref[li, 4], eg)
@@ -344,42 +354,310 @@ def _cjvp_kernel(
         wox, woy, woz = dx, dy, dz
         twx, twy, twz = tdx, tdy, tdz  # tangents of wo (aliases)
 
-        # ---- emitter-hit (brute take; this kernel's NEE is point-light
-        # only — delta lights are never hit, so w_emit == 1 throughout)
+        # ---- emitter-hit with MIS (persistent.py:621-657 semantics).
+        # The light sampler's counter-pdf for the incoming direction is
+        # ATTACHED for sphere-area lights (it moves with the previous
+        # vertex, whose tangent rides the carried origin tangents); the
+        # carried BSDF pdf is detached, and tri-emitter counter-pdfs are
+        # detached like the integrator's lp_tri (integrator.py:202).
         one_sided = _dot3(nx, ny, nz, -wox, -woy, -woz) > 0.0
         take = (act & one_sided).astype(jnp.float32)
-        Cr = Cr + Tr * er * take
-        Cg = Cg + Tg * eg * take
-        Cb = Cb + Tb * eb * take
+        w_emit = fzeros + 1.0
+        dw_emit = vz()
+        if use_nee:
+            ldp = fzeros
+            dldp = vz()
+            for li, (ltype, lprim) in enumerate(lights_static):
+                if ltype != 1 or lprim < 0:
+                    continue
+                m = is_ps[lprim]
+                elx = prims_ref[lprim, 0] - ox
+                ely = prims_ref[lprim, 1] - oy
+                elz = prims_ref[lprim, 2] - oz
+                e2l = _dot3(elx, ely, elz, elx, ely, elz)
+                rl = prims_ref[lprim, 3]
+                sin2 = jnp.minimum(rl * rl / jnp.maximum(e2l, 1e-12), 1.0)
+                ctm = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+                omc = jnp.maximum(1.0 - ctm, 1e-12)
+                pc = 1.0 / (2.0 * math.pi * omc)
+                outside = e2l > rl * rl
+                pc = jnp.where(outside, pc, 0.0)
+                ldp = jnp.where(m, pc * lights_ref[li, 7], ldp)
+                for j in range(T_):
+                    # prev vertex = the carried origin; d(e) = -do
+                    de2l = -2.0 * _dot3(elx, ely, elz,
+                                        tox[j], toy[j], toz[j])
+                    dsin2 = jnp.where(
+                        sin2 < 1.0,
+                        -(rl * rl) / jnp.maximum(e2l * e2l, 1e-12) * de2l,
+                        0.0,
+                    )
+                    dctm = jnp.where(
+                        ctm > 1e-6, -0.5 * dsin2 / jnp.maximum(ctm, 1e-6),
+                        0.0,
+                    )
+                    dpc = jnp.where(outside, pc / omc * dctm, 0.0)
+                    dldp[j] = jnp.where(
+                        m, dpc * lights_ref[li, 7], dldp[j]
+                    )
+            if mesh:
+                for (li, lmat, off, _K) in tri_lights_static:
+                    # tri emitter hits: detached counter-pdf (lp_tri)
+                    m = mesh_closer & (mmat == lmat)
+                    cos_le = jnp.abs(_dot3(nx, ny, nz, wox, woy, woz))
+                    tt_c = jnp.minimum(tm, 1e6)
+                    pc = (tt_c * tt_c / jnp.maximum(cos_le, 1e-9)
+                          * (lights_ref[li, 7]
+                             / jnp.maximum(tl_ref[off, 13], 1e-20)))
+                    ldp = jnp.where(m, pc, ldp)
+                    for j in range(T_):
+                        dldp[j] = jnp.where(m, 0.0, dldp[j])
+            pp2 = prev_pdf * prev_pdf
+            denom = jnp.maximum(pp2 + ldp * ldp, 1e-20)
+            w_emit = jnp.where(prev_delta, 1.0, pp2 / denom)
+            for j in range(T_):
+                # stable form d[a/(a+b)] = -w * db/(a+b): a squared
+                # denominator overflows f32 when ldp is huge (receiver
+                # grazing a light sphere makes the cone pdf ~1e11)
+                dw_emit[j] = jnp.where(
+                    prev_delta, 0.0,
+                    -w_emit * (2.0 * ldp * dldp[j]) / denom,
+                )
+        Cr = Cr + Tr * er * take * w_emit
+        Cg = Cg + Tg * eg * take * w_emit
+        Cb = Cb + Tb * eb * take * w_emit
         for j in range(T_):
-            tCr[j] = tCr[j] + tTr[j] * er * take
-            tCg[j] = tCg[j] + tTg[j] * eg * take
-            tCb[j] = tCb[j] + tTb[j] * eb * take
+            tCr[j] = tCr[j] + er * take * (
+                tTr[j] * w_emit + Tr * dw_emit[j]
+            )
+            tCg[j] = tCg[j] + eg * take * (
+                tTg[j] * w_emit + Tg * dw_emit[j]
+            )
+            tCb[j] = tCb[j] + eb * take * (
+                tTb[j] * w_emit + Tb * dw_emit[j]
+            )
 
-        # ---- NEE, point lights only (scene.h:153-158), with tangents
+        # ---- NEE (point + sphere-area + TRI_LIGHT, scene.h:150-170 live)
+        # with full interior tangents: the light sample is reparameterized
+        # through the shading point (attached cone/solid-angle sampling),
+        # pdfs and MIS weights carry their motion; occlusion / selection /
+        # one-sidedness are detached decisions (edge terms omitted by the
+        # documented interior estimator).
         is_d = ~(is_s | is_t) if (spec_prims or trans_prims) else None
         if use_nee:
             n_lights_s = len(lights_static)
             for li, (ltype, lprim) in enumerate(lights_static):
-                assert ltype == 0, "camera-jvp kernel: point-light NEE only"
                 lo = lights_ref[li, 6]
                 sel = lights_ref[li, 7]
                 if li == n_lights_s - 1:
                     m_l = usel >= lo
                 else:
                     m_l = (usel >= lo) & (usel < lo + sel)
-                wrx = lights_ref[li, 0] - hx
-                wry = lights_ref[li, 1] - hy
-                wrz = lights_ref[li, 2] - hz
-                d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
-                inv_dl = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
-                dist_l = d2l * inv_dl
-                wlx = wrx * inv_dl; wly = wry * inv_dl; wlz = wrz * inv_dl
-                inv_d2 = inv_dl * inv_dl
-                valid = dist_l > tmin
+                ir_l = lights_ref[li, 3]
+                ig_l = lights_ref[li, 4]
+                ib_l = lights_ref[li, 5]
+                dwlx_t, dwly_t, dwlz_t = vz3()
+                dpdf_l = vz()
+                dfac = vz()  # tangent of the radiance scale factor
+                is_delta = False
+                if ltype == 1 and lprim >= 0:
+                    # sphere-area light: attached cone sampling toward
+                    # the sphere (persistent.py:673-715 primal)
+                    wrx = prims_ref[lprim, 0] - hx
+                    wry = prims_ref[lprim, 1] - hy
+                    wrz = prims_ref[lprim, 2] - hz
+                    rl = prims_ref[lprim, 3]
+                    d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
+                    inv_dc = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
+                    wcx = wrx * inv_dc; wcy = wry * inv_dc
+                    wcz = wrz * inv_dc
+                    sin2 = jnp.minimum(
+                        rl * rl / jnp.maximum(d2l, 1e-12), 1.0
+                    )
+                    ctm = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+                    omc = jnp.maximum(1.0 - ctm, 1e-12)
+                    cth = 1.0 - ul1 * (1.0 - ctm)
+                    sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+                    phi = (2.0 * math.pi) * ul2
+                    usex = jnp.abs(wcx) > jnp.abs(wcz)
+                    gax = jnp.where(usex, -wcy, fzeros)
+                    gay = jnp.where(usex, wcx, -wcz)
+                    gaz = jnp.where(usex, fzeros, wcy)
+                    inv_a = jax.lax.rsqrt(jnp.maximum(
+                        gax * gax + gay * gay + gaz * gaz, 1e-20
+                    ))
+                    ax = gax * inv_a; ay = gay * inv_a; az = gaz * inv_a
+                    bx_ = wcy * az - wcz * ay
+                    by_ = wcz * ax - wcx * az
+                    bz_ = wcx * ay - wcy * ax
+                    cphi = jnp.cos(phi)
+                    sphi = jnp.sin(phi)
+                    cp = cphi * sth
+                    sp = sphi * sth
+                    wlx = ax * cp + bx_ * sp + wcx * cth
+                    wly = ay * cp + by_ * sp + wcy * cth
+                    wlz = az * cp + bz_ * sp + wcz * cth
+                    bq = _dot3(wrx, wry, wrz, wlx, wly, wlz)
+                    detq = bq * bq - d2l + rl * rl
+                    sq_d = jnp.sqrt(jnp.maximum(detq, 1e-12))
+                    thit = bq - jnp.sqrt(jnp.maximum(detq, 0.0))
+                    valid = (detq >= 0.0) & (thit > tmin) & (d2l > rl * rl)
+                    inv_rl = 1.0 / rl  # scalar
+                    nsx = (hx + wlx * thit - prims_ref[lprim, 0]) * inv_rl
+                    nsy = (hy + wly * thit - prims_ref[lprim, 1]) * inv_rl
+                    nsz = (hz + wlz * thit - prims_ref[lprim, 2]) * inv_rl
+                    front = _dot3(nsx, nsy, nsz,
+                                  -wlx, -wly, -wlz) > 0.0
+                    valid = valid & front
+                    pdf_l = sel / (2.0 * math.pi * omc)
+                    dist_l = thit
+                    fac = fzeros + 1.0
+                    for j in range(T_):
+                        # d(wr) = -dp (light center fixed)
+                        dd2l = -2.0 * _dot3(wrx, wry, wrz,
+                                            dpx[j], dpy[j], dpz[j])
+                        dinv_dc = -0.5 * inv_dc * inv_dc * inv_dc * dd2l
+                        dwcx = -dpx[j] * inv_dc + wrx * dinv_dc
+                        dwcy = -dpy[j] * inv_dc + wry * dinv_dc
+                        dwcz = -dpz[j] * inv_dc + wrz * dinv_dc
+                        dsin2 = jnp.where(
+                            sin2 < 1.0,
+                            -(rl * rl) / jnp.maximum(d2l * d2l, 1e-12)
+                            * dd2l,
+                            0.0,
+                        )
+                        dctm = jnp.where(
+                            ctm > 1e-6,
+                            -0.5 * dsin2 / jnp.maximum(ctm, 1e-6), 0.0,
+                        )
+                        dcth = ul1 * dctm
+                        dsth = jnp.where(
+                            sth > 1e-6,
+                            -cth * dcth / jnp.maximum(sth, 1e-6), 0.0,
+                        )
+                        # ONB tangents (same pattern as the diffuse
+                        # bounce frame)
+                        dgax = jnp.where(usex, -dwcy, fzeros)
+                        dgay = jnp.where(usex, dwcx, -dwcz)
+                        dgaz = jnp.where(usex, fzeros, dwcy)
+                        a_dg = ax * dgax + ay * dgay + az * dgaz
+                        dax = (dgax - ax * a_dg) * inv_a
+                        day = (dgay - ay * a_dg) * inv_a
+                        daz = (dgaz - az * a_dg) * inv_a
+                        dbx = dwcy * az + wcy * daz - dwcz * ay - wcz * day
+                        dby = dwcz * ax + wcz * dax - dwcx * az - wcx * daz
+                        dbz = dwcx * ay + wcx * day - dwcy * ax - wcy * dax
+                        dcp = cphi * dsth
+                        dsp = sphi * dsth
+                        dwlx = (dax * cp + ax * dcp + dbx * sp + bx_ * dsp
+                                + dwcx * cth + wcx * dcth)
+                        dwly = (day * cp + ay * dcp + dby * sp + by_ * dsp
+                                + dwcy * cth + wcy * dcth)
+                        dwlz = (daz * cp + az * dcp + dbz * sp + bz_ * dsp
+                                + dwcz * cth + wcz * dcth)
+                        dwlx_t[j] = dwlx
+                        dwly_t[j] = dwly
+                        dwlz_t[j] = dwlz
+                        dpdf_l[j] = pdf_l / omc * dctm
+                if ltype == 2 and mesh:
+                    # TRI_LIGHT: the sampled point is camera-independent
+                    # (dps = 0); tangents flow through the shading point
+                    # only (persistent.py:716-763 primal)
+                    off, K = None, 0
+                    for (tli, _lm, toff, tK) in tri_lights_static:
+                        if tli == li:
+                            off, K = toff, tK
+                    tl = lambda r_, k_: tl_ref[off + r_, k_]
+                    attrs0 = [tl(0, k_) + fzeros for k_ in range(12)]
+                    c_lo = fzeros
+                    c_hi = fzeros + tl(0, 12)
+                    for k in range(1, K):
+                        m_k = ul1 > tl(k - 1, 12)
+                        attrs0 = [
+                            jnp.where(m_k, tl(k, k_), a)
+                            for k_, a in enumerate(attrs0)
+                        ]
+                        c_lo = jnp.where(m_k, tl(k - 1, 12), c_lo)
+                        c_hi = jnp.where(m_k, tl(k, 12), c_hi)
+                    (v0x, v0y, v0z, e1x_, e1y_, e1z_, e2x_, e2y_, e2z_,
+                     nlx, nly, nlz) = attrs0
+                    u0r = jnp.clip(
+                        (ul1 - c_lo) / jnp.maximum(c_hi - c_lo, 1e-12),
+                        0.0, 1.0,
+                    )
+                    su = jnp.sqrt(u0r)
+                    b1s = 1.0 - su
+                    b2s = ul2 * su
+                    psx = v0x + b1s * e1x_ + b2s * e2x_
+                    psy = v0y + b1s * e1y_ + b2s * e2y_
+                    psz = v0z + b1s * e1z_ + b2s * e2z_
+                    wrx = psx - hx
+                    wry = psy - hy
+                    wrz = psz - hz
+                    d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
+                    inv_dl = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
+                    dist_l = d2l * inv_dl
+                    wlx = wrx * inv_dl
+                    wly = wry * inv_dl
+                    wlz = wrz * inv_dl
+                    cos_at = -_dot3(nlx, nly, nlz, wlx, wly, wlz)
+                    front = cos_at > 0.0
+                    area_l = tl_ref[off, 13]
+                    abs_ca = jnp.maximum(jnp.abs(cos_at), 1e-9)
+                    pdf_l = sel * d2l / jnp.maximum(
+                        abs_ca * jnp.maximum(area_l, 1e-20), 1e-12
+                    )
+                    valid = front & (dist_l > tmin)
+                    fac = fzeros + 1.0
+                    sgn_ca = jnp.sign(cos_at)
+                    for j in range(T_):
+                        dd2l = -2.0 * _dot3(wrx, wry, wrz,
+                                            dpx[j], dpy[j], dpz[j])
+                        dinv_dl = -0.5 * inv_dl * inv_dl * inv_dl * dd2l
+                        dwlx = -dpx[j] * inv_dl + wrx * dinv_dl
+                        dwly = -dpy[j] * inv_dl + wry * dinv_dl
+                        dwlz = -dpz[j] * inv_dl + wrz * dinv_dl
+                        dcos_at = -_dot3(nlx, nly, nlz, dwlx, dwly, dwlz)
+                        dwlx_t[j] = dwlx
+                        dwly_t[j] = dwly
+                        dwlz_t[j] = dwlz
+                        dpdf_l[j] = pdf_l * (
+                            dd2l / jnp.maximum(d2l, 1e-12)
+                            - sgn_ca * dcos_at / abs_ca
+                        )
+                elif ltype == 2:
+                    continue  # tri lights need the mesh tables
+                if ltype == 0:
+                    # point light (scene.h:153-158): delta, 1/d^2 falloff
+                    wrx = lights_ref[li, 0] - hx
+                    wry = lights_ref[li, 1] - hy
+                    wrz = lights_ref[li, 2] - hz
+                    d2l = _dot3(wrx, wry, wrz, wrx, wry, wrz)
+                    inv_dl = jax.lax.rsqrt(jnp.maximum(d2l, 1e-20))
+                    dist_l = d2l * inv_dl
+                    wlx = wrx * inv_dl; wly = wry * inv_dl
+                    wlz = wrz * inv_dl
+                    fac = inv_dl * inv_dl
+                    pdf_l = sel + fzeros
+                    valid = dist_l > tmin
+                    is_delta = True
+                    for j in range(T_):
+                        dd2l = -2.0 * _dot3(wrx, wry, wrz,
+                                            dpx[j], dpy[j], dpz[j])
+                        dfac[j] = -fac * fac * dd2l
+                        wl_dwr = -_dot3(wlx, wly, wlz,
+                                        dpx[j], dpy[j], dpz[j])
+                        dwlx_t[j] = (-dpx[j] - wlx * wl_dwr) * inv_dl
+                        dwly_t[j] = (-dpy[j] - wly * wl_dwr) * inv_dl
+                        dwlz_t[j] = (-dpz[j] - wlz * wl_dwr) * inv_dl
+                # ---- shared tail: occlusion (detached), receiver cosine,
+                # MIS weight, contribution — all with tangents
                 smax = dist_l * (1.0 - 1e-3) - tmin
                 occ = jnp.zeros(shape, jnp.bool_)
+                skip_pp = lprim if (ltype == 1 and lprim >= 0) else -1
                 for pp in range(n_prims):
+                    if pp == skip_pp:
+                        continue
                     sx2 = prims_ref[pp, 0] - hx
                     sy2 = prims_ref[pp, 1] - hy
                     sz2 = prims_ref[pp, 2] - hz
@@ -407,40 +685,51 @@ def _cjvp_kernel(
                 gate = (act & m_l & valid & support).astype(jnp.float32)
                 n_live = n_live + jnp.sum((gate > 0).astype(jnp.int32))
                 gate = gate * (~occ).astype(jnp.float32)
-                inv_sel = 1.0 / jnp.maximum(sel, 1e-20)
-                s_r = gate * cos_l * inv_sel
-                ir_l = lights_ref[li, 3]
-                ig_l = lights_ref[li, 4]
-                ib_l = lights_ref[li, 5]
+                ipl = 1.0 / jnp.maximum(pdf_l, 1e-20)
+                if is_delta:
+                    w_mis = fzeros + 1.0
+                else:
+                    pdf_b_l = jnp.where(support, cos_l * INV_PI, 0.0)
+                    mden = jnp.maximum(
+                        pdf_l * pdf_l + pdf_b_l * pdf_b_l, 1e-20
+                    )
+                    w_mis = (pdf_l * pdf_l) / mden
+                scale = gate * cos_l * w_mis * ipl
                 fr_d = ar * INV_PI; fg_d = ag * INV_PI; fb_d = ab * INV_PI
-                Cr = Cr + Tr * fr_d * ir_l * inv_d2 * s_r
-                Cg = Cg + Tg * fg_d * ig_l * inv_d2 * s_r
-                Cb = Cb + Tb * fb_d * ib_l * inv_d2 * s_r
+                Cr = Cr + Tr * fr_d * ir_l * fac * scale
+                Cg = Cg + Tg * fg_d * ig_l * fac * scale
+                Cb = Cb + Tb * fb_d * ib_l * fac * scale
                 for j in range(T_):
-                    # d(wr) = -dp; d(d2l) = 2 wr.dwr
-                    dd2l = -2.0 * _dot3(wrx, wry, wrz,
-                                        dpx[j], dpy[j], dpz[j])
-                    dinv_d2 = -inv_d2 * inv_d2 * dd2l
-                    wl_dwr = -_dot3(wlx, wly, wlz, dpx[j], dpy[j], dpz[j])
-                    dwlx = (-dpx[j] - wlx * wl_dwr) * inv_dl
-                    dwly = (-dpy[j] - wly * wl_dwr) * inv_dl
-                    dwlz = (-dpz[j] - wlz * wl_dwr) * inv_dl
                     dcos_l = (
-                        _dot3(dwlx, dwly, dwlz, nx, ny, nz)
+                        _dot3(dwlx_t[j], dwly_t[j], dwlz_t[j], nx, ny, nz)
                         + _dot3(wlx, wly, wlz, dnx[j], dny[j], dnz[j])
                     )
-                    ds_r = gate * dcos_l * inv_sel
+                    if is_delta:
+                        dw_mis = fzeros
+                    else:
+                        dpdf_b = jnp.where(support, dcos_l * INV_PI, 0.0)
+                        # w = a/(a+b): dw = ((1-w) da - w db)/(a+b) —
+                        # the squared-denominator form overflows f32 at
+                        # grazing-light cone pdfs (~1e11 -> mden^2 inf)
+                        dw_mis = (
+                            (1.0 - w_mis) * 2.0 * pdf_l * dpdf_l[j]
+                            - w_mis * 2.0 * pdf_b_l * dpdf_b
+                        ) / mden
+                    dscale = gate * (
+                        dcos_l * w_mis * ipl + cos_l * dw_mis * ipl
+                        - cos_l * w_mis * dpdf_l[j] * ipl * ipl
+                    )
                     tCr[j] = tCr[j] + fr_d * ir_l * (
-                        tTr[j] * inv_d2 * s_r + Tr * dinv_d2 * s_r
-                        + Tr * inv_d2 * ds_r
+                        tTr[j] * fac * scale + Tr * dfac[j] * scale
+                        + Tr * fac * dscale
                     )
                     tCg[j] = tCg[j] + fg_d * ig_l * (
-                        tTg[j] * inv_d2 * s_r + Tg * dinv_d2 * s_r
-                        + Tg * inv_d2 * ds_r
+                        tTg[j] * fac * scale + Tg * dfac[j] * scale
+                        + Tg * fac * dscale
                     )
                     tCb[j] = tCb[j] + fb_d * ib_l * (
-                        tTb[j] * inv_d2 * s_r + Tb * dinv_d2 * s_r
-                        + Tb * inv_d2 * ds_r
+                        tTb[j] * fac * scale + Tb * dfac[j] * scale
+                        + Tb * fac * dscale
                     )
 
         # ---- attached diffuse bounce: wi = ONB(n) @ l, l detached
@@ -639,6 +928,11 @@ def _cjvp_kernel(
             tdx[j] = jnp.where(act, twix[j], tdx[j])
             tdy[j] = jnp.where(act, twiy[j], tdy[j])
             tdz[j] = jnp.where(act, twiz[j], tdz[j])
+        # MIS carry for the next bounce's emitter hits (detached pdf)
+        prev_pdf = jnp.where(act, pdf, prev_pdf)
+        new_delta = (is_s | is_t) if (spec_prims or trans_prims) \
+            else jnp.zeros(shape, jnp.bool_)
+        prev_delta = (act & new_delta) | (~act & prev_delta)
         bounce = jnp.where(act, bounce + 1, bounce)
         alive = alive_next
 
@@ -681,10 +975,6 @@ def camera_jvp_call(
     (L_sum (rows,LANES,3), dL_sum (T,rows,LANES,3), n_samp, live_rays):
     per-pixel primal radiance sums, their directional derivatives along
     each dcam row, and completed-sample counts."""
-    for (ltype, _lp) in scene.light_structure:
-        if use_nee and ltype != 0:
-            raise ValueError("camera-jvp kernel NEE supports point lights "
-                             "only (area/tri-light NEE uses the XLA path)")
     if scene.textures is not None:
         raise ValueError("camera-jvp kernel: textured scenes use the XLA "
                          "path (the interior estimator would need the "
@@ -733,19 +1023,37 @@ def camera_jvp_call(
         ).astype(jnp.float32)
         mbox = pk.nodes[:, 0:6].reshape(-1)
         mmeta = pk.nodes[:, 6:9].astype(jnp.int32).reshape(-1)
-        tls = tuple(
-            (li, int(scene.light_mats[li]))
-            for li, (ltype, _lp) in enumerate(lights_static)
-            if ltype == 2 and scene.tri_light_counts[li] > 0
-        )
+        # tri-light rows: [v0(3) e1(3) e2(3) n(3) cdf_hi area] per REAL
+        # triangle of each TRI_LIGHT, in light order (static offsets) —
+        # same table as the persistent forward kernel
+        tls = []
+        tl_off = 0
+        tl_rows = []
+        for li, (ltype, _lp) in enumerate(lights_static):
+            K = scene.tri_light_counts[li] if ltype == 2 else 0
+            if ltype == 2 and K > 0:
+                tls.append((li, int(scene.light_mats[li]), tl_off, K))
+                tl_rows.append(jnp.concatenate(
+                    [
+                        scene.tl_v0[li, :K], scene.tl_e1[li, :K],
+                        scene.tl_e2[li, :K], scene.tl_n[li, :K],
+                        scene.tl_cdf[li, :K, None],
+                        jnp.broadcast_to(scene.tl_area[li], (K,))[:, None],
+                    ],
+                    axis=1,
+                ))
+                tl_off += K
+        tls = tuple(tls)
+        tl_tab = (jnp.concatenate(tl_rows, axis=0).astype(jnp.float32)
+                  if tl_rows else jnp.zeros((1, 14), jnp.float32))
         smem = lambda arr, nd=2: pl.BlockSpec(
             arr.shape,
             (lambda i, *_: (0, 0)) if nd == 2 else (lambda i, *_: (0,)),
             memory_space=pltpu.SMEM,
         )
-        mesh_inputs = [matm, mbox, mmeta, pk.tri_rows]
+        mesh_inputs = [matm, mbox, mmeta, tl_tab, pk.tri_rows]
         mesh_specs = [
-            smem(matm), smem(mbox, 1), smem(mmeta, 1),
+            smem(matm), smem(mbox, 1), smem(mmeta, 1), smem(tl_tab),
             pl.BlockSpec(pk.tri_rows.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
