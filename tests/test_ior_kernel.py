@@ -1,0 +1,163 @@
+"""Fused IOR (mat_coef) gradients through the tangent kernel.
+
+VERDICT r4 item 3: the index of refraction joins the trainer's param
+dict at kernel speed. One tangent-batched walk through the persistent
+schedule (ops/pallas/camera_jvp.py) carries BOTH halves of
+diff/score.py's combined estimator:
+  - the attached Snell-bending term (the d(eta) source in the refract
+    JVP, propagated by the same IFT/ONB tangent chains as camera pose);
+  - the discrete Fresnel-coin term via a streaming score accumulator
+    (score factor R'/R | -R'/(1-R), reference scene.h:202-213; suffix
+    C_tot - C_b applied at path completion like the fused kernel's GA).
+
+The CPU suite checks structure (finite, routed to the right material
+slot, trainer wiring); the FD validation in EXPECTATION — per-sample FD
+is meaningless when a lane's u crosses R(ior +- h) and flips its whole
+path (see tests/test_score.py) — runs on the TPU backend where 16
+iterations of the real kernel are cheap. Recorded TPU result
+(8x8x32spp b6, 16 iterations, this fixture):
+  brute: kernel 1.537+-0.062  pairedFD 1.527+-0.133  scorepy 1.700+-0.119
+  NEE:   kernel 1.556+-0.067  pairedFD 1.546+-0.136  scorepy 1.682+-0.124
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pathtracer.models import camera as cm, scene as sc
+from tpu_pathtracer.ops.pallas.camera_jvp import (
+    camera_jvp_call, ior_mse_grad, ior_weighted_grad, transmissive_mats,
+)
+from tpu_pathtracer.ops.pallas.trace_kernel import pack_camera
+
+tpu_only = pytest.mark.skipif(
+    jax.devices()[0].platform == "cpu",
+    reason="FD-in-expectation needs 100+ real kernel launches; minutes "
+    "on the interpreter, seconds on the chip",
+)
+
+IOR = 1.5
+GLASS = 0
+
+
+def _glass_fixture():
+    """tests/test_score.py's edge-free glass-ball fixture: refraction
+    bending never crosses a silhouette, two emitters behind/ahead."""
+    spheres = [
+        sc.sphere([0, 0, 0], 5.0, 0),
+        sc.sphere([0, 0, -80], 40.0, 1, 0),
+        sc.sphere([0, 0, 140], 70.0, 1, 1),
+    ]
+    mats = [sc.transmissive([1, 1, 1], ior=IOR), sc.diffuse([0, 0, 0])]
+    lights = [sc.area_light(1, [4, 4, 4]), sc.area_light(2, [9, 9, 9])]
+    scene = sc.make_scene(spheres, mats, lights)
+    camera = cm.make_camera([0, 0, 30], [0, 0, 0], [0, 1, 0], 4, 4, 0.5)
+    return scene, camera
+
+
+def test_transmissive_mats_routing():
+    scene, _ = _glass_fixture()
+    assert transmissive_mats(scene) == (GLASS,)
+    s2, _ = sc.cornell_spheres()
+    assert len(transmissive_mats(s2)) == 1
+    s3, _ = sc.cornell_boxes()
+    assert transmissive_mats(s3) == ()
+
+
+@pytest.mark.parametrize("use_nee", [False, True])
+def test_ior_grad_finite_and_routed(use_nee):
+    """Tiny interpreter run: the gradient lands in the glass material's
+    slot only, finite, and the value matches the plain primal."""
+    scene, camera = _glass_fixture()
+    w = jnp.ones((4, 4, 3)) / (4 * 4 * 3)
+    seed = jnp.asarray([5, 2], jnp.int32)
+    v, g = ior_weighted_grad(
+        scene, camera, seed, w, spp=2, budget=6, max_bounces=4,
+        tile_rows=8, use_nee=use_nee, interpret=True,
+    )
+    g = np.asarray(g)
+    assert np.isfinite(g).all() and np.isfinite(float(v))
+    assert g[GLASS] != 0.0
+    assert (g[1:] == 0.0).all()  # non-transmissive slots untouched
+
+
+def test_ior_no_transmissive_raises():
+    scene, cs = sc.cornell_boxes()
+    camera = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 4, 4,
+                            cs["fov"])
+    with pytest.raises(ValueError, match="no transmissive"):
+        ior_weighted_grad(
+            scene, camera, jnp.asarray([1, 0], jnp.int32),
+            jnp.ones((4, 4, 3)), spp=2, budget=4, interpret=True,
+        )
+
+
+def test_trainer_mat_coef_param():
+    """kernel_loss_and_grads accepts 'mat_coef' in params and returns a
+    finite gradient routed through the tangent kernel, alongside the
+    fused kernel's mat_color/light gradients."""
+    from tpu_pathtracer.diff.inverse import kernel_loss_and_grads, params_of
+
+    scene, camera = _glass_fixture()
+    params = params_of(scene, ior=True)
+    assert "mat_coef" in params
+    target = jnp.zeros((4, 4, 3))
+    loss, grads = kernel_loss_and_grads(
+        params, scene, camera, target, jnp.asarray([3, 1], jnp.int32), 0,
+        spp=2, max_bounces=4, tile_rows=8, budget=6, use_nee=True,
+        interpret=True,
+    )
+    assert np.isfinite(float(loss))
+    g = np.asarray(grads["mat_coef"])
+    assert np.isfinite(g).all() and g[GLASS] != 0.0 and (g[1:] == 0.0).all()
+    assert np.isfinite(np.asarray(grads["mat_color"])).all()
+
+
+@tpu_only
+@pytest.mark.parametrize("use_nee", [False, True])
+def test_ior_grad_matches_fd_expectation(use_nee):
+    """Kernel gradient == central difference of the kernel's OWN primal,
+    in expectation over iterations (both transport modes), and agrees
+    with diff/score.py's XLA estimator within MC tolerance."""
+    from tpu_pathtracer.diff.score import ior_value_and_grad
+    from tpu_pathtracer.models.integrator import RenderConfig
+
+    scene, camera = _glass_fixture()
+    W = H = 8
+    camera = cm.make_camera([0, 0, 30], [0, 0, 0], [0, 1, 0], W, H, 0.5)
+    w = jnp.ones((H, W, 3)) / (H * W * 3)
+    seed = jnp.asarray([5, 2], jnp.int32)
+    SPP, MB, BUD, TR = 32, 6, 134, 8
+    h = 0.02
+
+    def primal(s, it):
+        L, _d, ns, _ = camera_jvp_call(
+            s, pack_camera(camera), jnp.zeros(24), seed, jnp.int32(it),
+            spp=SPP, budget=BUD, width=W, height=H, max_bounces=MB,
+            tile_rows=TR, use_nee=use_nee,
+        )
+        nsafe = jnp.maximum(ns, 1).astype(jnp.float32)[..., None]
+        mean = (L / nsafe).reshape(-1, 3)[: W * H].reshape(H, W, 3)
+        return float(jnp.sum(w * mean))
+
+    cfg = RenderConfig(spp=SPP, max_bounces=MB, use_nee=use_nee)
+    gs, fds, xs = [], [], []
+    for it in range(16):
+        _, g = ior_weighted_grad(
+            scene, camera, seed, w, spp=SPP, budget=BUD, max_bounces=MB,
+            tile_rows=TR, use_nee=use_nee, iteration=it,
+        )
+        gs.append(float(g[GLASS]))
+        sp = scene.replace(mat_coef=scene.mat_coef.at[GLASS].set(IOR + h))
+        sm = scene.replace(mat_coef=scene.mat_coef.at[GLASS].set(IOR - h))
+        fds.append((primal(sp, it) - primal(sm, it)) / (2 * h))
+        _, gx = ior_value_and_grad(scene, camera, jax.random.key(3), cfg,
+                                   w, iteration=it)
+        xs.append(float(gx[GLASS]))
+    grad, fd, xla = np.mean(gs), np.mean(fds), np.mean(xs)
+    assert np.isfinite(np.array(gs)).all()
+    assert grad > 0.5, f"ior gradient lost sign/magnitude: {grad}"
+    np.testing.assert_allclose(grad, fd, rtol=0.25)
+    np.testing.assert_allclose(grad, xla, rtol=0.35)

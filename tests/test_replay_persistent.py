@@ -49,16 +49,19 @@ def _uniform_blocks(seed, iteration, budget, n_draw, n_tiles):
 
 
 def _replica_loss_fn(scene, camera, target, seed, budget, use_nee,
-                     spp=SPP, strat_k=2):
+                     spp=SPP, strat_k=2, iteration=0, return_lanes=False):
     """Differentiable replica of the persistent fwd+bwd estimator:
-    loss(mat_color, light_intensity) on the kernel's uniform stream."""
+    loss(mat_color, light_intensity) on the kernel's uniform stream.
+    return_lanes=True returns the raw (L_lanes (N,3), n_samp (N,))
+    instead of the MSE — the building block for the POOLED-mean loss of
+    the chunked spp > 32 protocol."""
     cp = np.asarray(pack_camera(camera))
     ltab = np.asarray(pack_lights(scene))
     n_lanes = W * H
     n_tiles = pixel_lanes_layout(W, H, TR)[0] // TR
     n_lanes_tot = n_tiles * TR * LANES
     n_draw = 2 + 3 + (3 if use_nee else 0)
-    U = _uniform_blocks(seed, 0, budget, n_draw, n_tiles)
+    U = _uniform_blocks(seed, iteration, budget, n_draw, n_tiles)
 
     def unif(it, j):
         return jnp.asarray(
@@ -659,6 +662,8 @@ def _replica_loss_fn(scene, camera, target, seed, budget, use_nee,
             bounce = jnp.where(act, bounce + 1, bounce)
             alive = alive_next
 
+        if return_lanes:
+            return jnp.stack(Ls, axis=-1), n_s
         have = (n_s > 0) & in_domain
         havef = have.astype(jnp.float32)
         inv_n = havef / jnp.maximum(n_s.astype(jnp.float32), 1.0)
@@ -993,6 +998,63 @@ def test_textured_grads_match_replica_autodiff(tex_scene, nee):
     loss_fn = _replica_loss_fn(scene, camera, target, (5, 3), MBUDGET, nee)
     loss_r, (gA_r, gI_r, gT_r) = jax.jit(
         jax.value_and_grad(loss_fn, argnums=(0, 1, 2))
+    )(scene.mat_color, scene.light_intensity, scene.textures)
+
+    np.testing.assert_allclose(float(loss_k), float(loss_r), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(grads_k["mat_color"]), np.asarray(gA_r),
+        rtol=2e-3, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads_k["light_intensity"])[: gI_r.shape[0]],
+        np.asarray(gI_r), rtol=2e-3, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads_k["textures"]), np.asarray(gT_r),
+        rtol=2e-3, atol=1e-7,
+    )
+    assert np.abs(np.asarray(grads_k["textures"])).max() > 0
+
+
+def test_chunked_textured_grads_match_pooled_replica(tex_scene):
+    """spp > 32 textured gradients via the CHUNKED sample-budget
+    protocol (VERDICT r4 item 4): deferred-cotangent adjoint chunks +
+    pooled-mean MSE + per-chunk scatter replays == jax.grad of the
+    POOLED replica loss (two chunk walks at iterations {0, 1}, mean
+    pooled over both) on the same uniforms. Validates mat_color, light
+    AND the atlas through the pooled cotangent path at ~1e-6."""
+    scene, camera = tex_scene
+    seed = jnp.asarray([5, 3], jnp.int32)
+    rng = np.random.default_rng(7)
+    target = jnp.asarray(rng.random((H, W, 3), np.float32))
+    spp, budget = 48, 9  # chunks: (32 spp, budget 6) + (16 spp, budget 3)
+
+    loss_k, grads_k, nrays = persistent_mse_value_and_grad(
+        scene, camera, seed, 0, target, spp=spp, budget=budget,
+        max_bounces=MB, rr_start=RRS, tile_rows=TR, use_nee=True,
+        interpret=True,
+    )
+    assert int(nrays) > 0
+
+    f1 = _replica_loss_fn(scene, camera, target, (5, 3), 6, True,
+                          spp=32, iteration=0, return_lanes=True)
+    f2 = _replica_loss_fn(scene, camera, target, (5, 3), 3, True,
+                          spp=16, iteration=1, return_lanes=True)
+    rows_total = pixel_lanes_layout(W, H, TR)[0]
+    tl = target_to_lanes(target, rows_total).reshape(-1, 3)
+    lane = jnp.arange(rows_total * LANES)
+
+    def pooled(mat_color, light_intensity, textures):
+        L1, n1 = f1(mat_color, light_intensity, textures)
+        L2, n2 = f2(mat_color, light_intensity, textures)
+        L, n = L1 + L2, n1 + n2
+        havef = ((n > 0) & (lane < W * H)).astype(jnp.float32)
+        inv_n = havef / jnp.maximum(n.astype(jnp.float32), 1.0)
+        d = (L * inv_n[:, None] - tl) * havef[:, None]
+        return jnp.sum(d * d) / (W * H * 3)
+
+    loss_r, (gA_r, gI_r, gT_r) = jax.jit(
+        jax.value_and_grad(pooled, argnums=(0, 1, 2))
     )(scene.mat_color, scene.light_intensity, scene.textures)
 
     np.testing.assert_allclose(float(loss_k), float(loss_r), rtol=1e-4)

@@ -49,13 +49,18 @@ class TrainState:
     step: Array
 
 
-def params_of(scene: Scene) -> dict:
+def params_of(scene: Scene, *, ior: bool = False) -> dict:
+    """ior=True adds mat_coef (index of refraction) to the optimizable
+    set — its gradient rides the fused IOR tangent kernel
+    (ops/pallas/camera_jvp.ior_mse_grad) in kernel_loss_and_grads."""
     p = {
         "mat_color": scene.mat_color,
         "light_intensity": scene.light_intensity,
     }
     if scene.textures is not None:
         p["textures"] = scene.textures
+    if ior:
+        p["mat_coef"] = scene.mat_coef
     return p
 
 
@@ -67,17 +72,21 @@ def apply_params(scene: Scene, params: dict) -> Scene:
     )
     if "textures" in params:
         scene = scene.replace(textures=params["textures"])
+    if "mat_coef" in params:
+        scene = scene.replace(mat_coef=params["mat_coef"])
     return scene
 
 
 def _clamp_params(params: dict) -> dict:
-    """Physical clamps: albedo/texels in [0,1], intensity >= 0."""
+    """Physical clamps: albedo/texels in [0,1], intensity >= 0, ior >= 1."""
     out = {
         "mat_color": jnp.clip(params["mat_color"], 0.0, 1.0),
         "light_intensity": jnp.maximum(params["light_intensity"], 0.0),
     }
     if "textures" in params:
         out["textures"] = jnp.clip(params["textures"], 0.0, 1.0)
+    if "mat_coef" in params:
+        out["mat_coef"] = jnp.maximum(params["mat_coef"], 1.0)
     return out
 
 
@@ -351,6 +360,29 @@ def kernel_loss_and_grads(
             scene_p.light_intensity, 1e-8
         ),
     }
+    if "mat_coef" in params:
+        # index-of-refraction gradients: ONE fused tangent walk carrying
+        # the attached Snell bending AND the streaming Fresnel-score
+        # term (ops/pallas/camera_jvp.py, diff/score.py's combined
+        # estimator at kernel speed). The walk draws its own paths, so
+        # it composes with any engine; it runs replicated under a mesh
+        # (the ior walk is a small fraction of the fused-gradient cost).
+        if scene_p.textures is not None:
+            raise ValueError(
+                "mat_coef gradients use the tangent kernel, which does "
+                "not trace textured materials — drop 'textures'/"
+                "'mat_coef' from params or use the XLA score path "
+                "(diff.score.ior_value_and_grad)"
+            )
+        from tpu_pathtracer.ops.pallas.camera_jvp import ior_mse_grad
+
+        grads["mat_coef"] = ior_mse_grad(
+            scene_p, camera, seed, target, spp=spp,
+            max_bounces=max_bounces, rr_start=rr_start,
+            use_nee=use_nee, strat_k=strat_k, iteration=it,
+            tile_rows=32 if tile_rows is None else tile_rows,
+            budget=budget, interpret=interpret,
+        )
     if gT is not None:
         # already the full dLoss/dtextures (scatter launch folds the
         # cotangent and the 1/texel in-kernel) — no division here

@@ -92,6 +92,22 @@ def _cjvp_kernel(
     leaf_rows: int = 1,
     mat_types: tuple = (),
     tri_lights_static: tuple = (),  # ((light_idx, mat_id, off, K), ...)
+    # ---- IOR tangents (round 5, VERDICT item 3): tangent j with
+    # tan_mats[j] == m >= 0 is an index-of-refraction tangent
+    # d/d(mat_coef[m]) instead of a camera tangent. Its dcam row is all
+    # zero (the camera does not move); instead the refract JVP gains the
+    # d(eta)/d(ior) SOURCE term at material-m transmissive vertices
+    # (Snell bending — diff/score.py's "attached part"), and the
+    # discrete Fresnel coin u < R(ior) contributes through a streaming
+    # score accumulator (score factor R'/R | -R'/(1-R), reference
+    # scene.h:202-213 semantics; suffix applied at path completion like
+    # the fused kernel's GA flush) — BOTH halves of the combined
+    # estimator ride the same walk, so the per-pixel tangent is the
+    # full d(mean image)/d(mat_coef[m]) and FD-validates against this
+    # kernel's own primal.
+    tan_mats: tuple = (),  # per-tangent material id, -1 = camera tangent
+    tan_sphere_prims: tuple = (),  # per-tangent transmissive sphere prims
+    tan_mesh: tuple = (),  # per-tangent: material m has mesh triangles
 ):
     if mesh:
         matm_ref, mbox_ref, mmeta_ref, tl_ref, mtris_ref = refs[:5]
@@ -110,6 +126,15 @@ def _cjvp_kernel(
     shape = (rows, LANES)
     fzeros = jnp.zeros(shape, jnp.float32)
     T_ = n_tan
+    if not tan_mats:
+        tan_mats = (-1,) * T_
+        tan_sphere_prims = ((),) * T_
+        tan_mesh = (False,) * T_
+    coef_js = tuple(j for j, m in enumerate(tan_mats) if m >= 0)
+    # mesh materials can be specular/transmissive without any
+    # sphere of that type: gate the delta-lobe blocks on EITHER
+    any_spec = bool(spec_prims) or (mesh and SPECULAR in mat_types)
+    any_trans = bool(trans_prims) or (mesh and TRANSMISSIVE in mat_types)
 
     if mesh:
         mesh_walk = make_mesh_walk(
@@ -151,6 +176,14 @@ def _cjvp_kernel(
     tTr, tTg, tTb = vz3()
     Cr = fzeros; Cg = fzeros; Cb = fzeros
     tCr, tCg, tCb = vz3()
+    if coef_js:
+        # streaming score state per IOR tangent: running sum of score
+        # factors and of score * C_prefix; the C_tot suffix is applied
+        # at path completion (sum_b s_b (C_tot - C_b) = C_tot sS - cS)
+        sS = {j: fzeros for j in coef_js}
+        cSr = {j: fzeros for j in coef_js}
+        cSg = {j: fzeros for j in coef_js}
+        cSb = {j: fzeros for j in coef_js}
     bounce = jnp.zeros(shape, jnp.int32)
     alive = jnp.zeros(shape, jnp.bool_)
     # MIS carry (NEE transports): the BSDF pdf that produced the pending
@@ -224,6 +257,11 @@ def _cjvp_kernel(
             tTb[j] = tTb[j] * keep
             tCr[j] = tCr[j] * keep; tCg[j] = tCg[j] * keep
             tCb[j] = tCb[j] * keep
+        for j in coef_js:
+            sS[j] = sS[j] * keep
+            cSr[j] = cSr[j] * keep
+            cSg[j] = cSg[j] * keep
+            cSb[j] = cSb[j] * keep
         Tr = jnp.where(regen, 1.0, Tr); Tg = jnp.where(regen, 1.0, Tg)
         Tb = jnp.where(regen, 1.0, Tb)
         Cr = Cr * keep; Cg = Cg * keep; Cb = Cb * keep
@@ -332,6 +370,19 @@ def _cjvp_kernel(
                 er = jnp.where(m_mask, lights_ref[li, 3], er)
                 eg = jnp.where(m_mask, lights_ref[li, 4], eg)
                 eb = jnp.where(m_mask, lights_ref[li, 5], eb)
+
+        # per-IOR-tangent vertex mask: this material's transmissive hits
+        # (sphere winners or mesh triangles), live lanes only; the
+        # ior = max(coef, 1) clamp kills the derivative at coef <= 1
+        if coef_js:
+            tmaskf = {}
+            for j in coef_js:
+                mm = jnp.zeros(shape, jnp.bool_)
+                for p in tan_sphere_prims[j]:
+                    mm = mm | is_ps[p]
+                if mesh and tan_mesh[j]:
+                    mm = mm | (mesh_closer & (mmat == tan_mats[j]))
+                tmaskf[j] = ((mm & act) & (coef > 1.0)).astype(jnp.float32)
 
         # ---- geometry tangents (IFT on the winner's sphere constraint)
         nd = _dot3(nx, ny, nz, dx, dy, dz)
@@ -443,7 +494,7 @@ def _cjvp_kernel(
         # pdfs and MIS weights carry their motion; occlusion / selection /
         # one-sidedness are detached decisions (edge terms omitted by the
         # documented interior estimator).
-        is_d = ~(is_s | is_t) if (spec_prims or trans_prims) else None
+        is_d = ~(is_s | is_t) if (any_spec or any_trans) else None
         if use_nee:
             n_lights_s = len(lights_static)
             for li, (ltype, lprim) in enumerate(lights_static):
@@ -680,7 +731,7 @@ def _cjvp_kernel(
                 support = (cos_l > 0.0) & (
                     _dot3(wox, woy, woz, wlx, wly, wlz) < 0.0
                 )
-                if spec_prims or trans_prims:
+                if any_spec or any_trans:
                     support = support & is_d
                 gate = (act & m_l & valid & support).astype(jnp.float32)
                 n_live = n_live + jnp.sum((gate > 0).astype(jnp.int32))
@@ -772,7 +823,7 @@ def _cjvp_kernel(
             twdz[j] = duz * ldx + dvz * ldy + dnz[j] * ldz
 
         won = _dot3(wox, woy, woz, nx, ny, nz)
-        if spec_prims or trans_prims:
+        if any_spec or any_trans:
             wsx = wox - 2.0 * won * nx
             wsy = woy - 2.0 * won * ny
             wsz = woz - 2.0 * won * nz
@@ -786,7 +837,7 @@ def _cjvp_kernel(
                 twsy[j] = twy[j] - 2.0 * (dwon * ny + won * dny[j])
                 twsz[j] = twz[j] - 2.0 * (dwon * nz + won * dnz[j])
 
-        if trans_prims:
+        if any_trans:
             entering = won < 0.0
             ior = jnp.maximum(coef, 1.0)
             n1 = jnp.where(entering, 1.0, ior)
@@ -818,20 +869,74 @@ def _cjvp_kernel(
                     + twz[j] * nnz + woz * dnnz
                 )
                 dsin2t = eta * eta * (-2.0 * cos_i * dcos_i)
+                if tan_mats[j] >= 0:
+                    # IOR tangent source: d(ior) = 1 at this material's
+                    # vertices (zero elsewhere via the mask); eta = n1/n2
+                    # moves, feeding Snell's bend into the chain
+                    dn1 = jnp.where(entering, 0.0, tmaskf[j])
+                    dn2 = jnp.where(entering, tmaskf[j], 0.0)
+                    deta = (dn1 * n2 - n1 * dn2) / (n2 * n2)
+                    dsin2t = dsin2t + 2.0 * eta * deta * (1.0 - cos_i * cos_i)
                 dcos_t = -0.5 * dsin2t / cos_t
                 dfac = eta * (-dcos_i) + dcos_t
                 dtxx = twx[j] * eta - dfac * nnx - fac * dnnx
                 dtxy = twy[j] * eta - dfac * nny - fac * dnny
                 dtxz = twz[j] * eta - dfac * nnz - fac * dnnz
+                if tan_mats[j] >= 0:
+                    dfac_e = deta * (-cos_i)
+                    dtxx = dtxx + wox * deta - dfac_e * nnx
+                    dtxy = dtxy + woy * deta - dfac_e * nny
+                    dtxz = dtxz + woz * deta - dfac_e * nnz
                 twtx[j] = jnp.where(do_reflect, twsx[j], dtxx)
                 twty[j] = jnp.where(do_reflect, twsy[j], dtxy)
                 twtz[j] = jnp.where(do_reflect, twsz[j], dtxz)
+
+            if coef_js:
+                # ---- streaming score term for the detached Fresnel coin
+                # (diff/score.py): dR/d(ior) by analytic differentiation
+                # of the unpolarized Fresnel above (n1, n2 move with ior;
+                # the geometry cos_i is fixed at this vertex for the
+                # DISCRETE choice's probability). TIR lanes sit on the
+                # R == 1 plateau (dR = 0).
+                dn1s = jnp.where(entering, 0.0, 1.0)
+                dn2s = jnp.where(entering, 1.0, 0.0)
+                detas = (dn1s * n2 - n1 * dn2s) / (n2 * n2)
+                dsin2ts = 2.0 * eta * detas * (1.0 - cos_i * cos_i)
+                dcos_ts = -0.5 * dsin2ts / cos_t
+                ao = n1 * cos_i - n2 * cos_t
+                bo = n1 * cos_i + n2 * cos_t
+                dao = dn1s * cos_i - dn2s * cos_t - n2 * dcos_ts
+                dbo = dn1s * cos_i + dn2s * cos_t + n2 * dcos_ts
+                bsafe = jnp.maximum(bo, 1e-9)  # bo > 0 away from grazing
+                dro = (dao * bo - ao * dbo) / (bsafe * bsafe)
+                cp_ = n2 * cos_i - n1 * cos_t
+                dp_ = n2 * cos_i + n1 * cos_t
+                dcp = dn2s * cos_i - dn1s * cos_t - n1 * dcos_ts
+                ddp = dn2s * cos_i + dn1s * cos_t + n1 * dcos_ts
+                dsafe = jnp.maximum(dp_, 1e-9)
+                drp = (dcp * dp_ - cp_ * ddp) / (dsafe * dsafe)
+                dRv = r_orth * dro + r_par * drp
+                dRv = jnp.where(sin2t > 1.0, 0.0, dRv)
+                scf = jnp.where(
+                    do_reflect,
+                    dRv / jnp.maximum(refl, 1e-6),
+                    -dRv / jnp.maximum(1.0 - refl, 1e-6),
+                )
+                for j in coef_js:
+                    sc = scf * tmaskf[j]
+                    sS[j] += sc
+                    # C here includes this vertex's emit+NEE terms, which
+                    # do not depend on the coin — the suffix splits after
+                    # them (diff/score.py's recurrence)
+                    cSr[j] += sc * Cr
+                    cSg[j] += sc * Cg
+                    cSb[j] += sc * Cb
 
         wix, wiy, wiz = wdx, wdy, wdz
         twix, twiy, twiz = twdx, twdy, twdz
         fr = ar * INV_PI; fg = ag * INV_PI; fb = ab * INV_PI
         pdf = pdf_d
-        if spec_prims:
+        if any_spec:
             wix = jnp.where(is_s, wsx, wix)
             wiy = jnp.where(is_s, wsy, wiy)
             wiz = jnp.where(is_s, wsz, wiz)
@@ -842,7 +947,7 @@ def _cjvp_kernel(
             fr = jnp.where(is_s, coef * ar, fr)
             fg = jnp.where(is_s, coef * ag, fg)
             fb = jnp.where(is_s, coef * ab, fb)
-        if trans_prims:
+        if any_trans:
             wix = jnp.where(is_t, wtx, wix)
             wiy = jnp.where(is_t, wty, wiy)
             wiz = jnp.where(is_t, wtz, wiz)
@@ -853,7 +958,7 @@ def _cjvp_kernel(
             fr = jnp.where(is_t, ar, fr)
             fg = jnp.where(is_t, ag, fg)
             fb = jnp.where(is_t, ab, fb)
-        if spec_prims or trans_prims:
+        if any_spec or any_trans:
             pdf = jnp.where(is_d, pdf_d, 1.0)
         f_black = (fr <= 0.0) & (fg <= 0.0) & (fb <= 0.0)
         contrib_ok = ~f_black & (pdf > 0.0)
@@ -862,7 +967,7 @@ def _cjvp_kernel(
         # in the attached frame, cos == l_z); delta lobes weight = f*cos
         # with cos attached
         step_ok = act & contrib_ok
-        if spec_prims or trans_prims:
+        if any_spec or any_trans:
             cos_dot = _dot3(wix, wiy, wiz, nx, ny, nz)
             cos_wi = jnp.abs(cos_dot)
             sign_c = jnp.sign(cos_dot)
@@ -915,6 +1020,11 @@ def _cjvp_kernel(
             dLr[j] = dLr[j] + tCr[j] * diedf
             dLg[j] = dLg[j] + tCg[j] * diedf
             dLb[j] = dLb[j] + tCb[j] * diedf
+        for j in coef_js:
+            # score flush: sum_b s_b (C_tot - C_b) = C_tot sS - cS
+            dLr[j] = dLr[j] + (Cr * sS[j] - cSr[j]) * diedf
+            dLg[j] = dLg[j] + (Cg * sS[j] - cSg[j]) * diedf
+            dLb[j] = dLb[j] + (Cb * sS[j] - cSb[j]) * diedf
         n_samp = n_samp + died.astype(jnp.int32)
 
         ox = jnp.where(act, hx, ox); oy = jnp.where(act, hy, oy)
@@ -930,7 +1040,7 @@ def _cjvp_kernel(
             tdz[j] = jnp.where(act, twiz[j], tdz[j])
         # MIS carry for the next bounce's emitter hits (detached pdf)
         prev_pdf = jnp.where(act, pdf, prev_pdf)
-        new_delta = (is_s | is_t) if (spec_prims or trans_prims) \
+        new_delta = (is_s | is_t) if (any_spec or any_trans) \
             else jnp.zeros(shape, jnp.bool_)
         prev_delta = (act & new_delta) | (~act & prev_delta)
         bounce = jnp.where(act, bounce + 1, bounce)
@@ -950,7 +1060,7 @@ def _cjvp_kernel(
     jax.jit,
     static_argnames=("spp", "budget", "width", "height", "max_bounces",
                      "rr_start", "tile_rows", "use_nee", "strat_k",
-                     "interpret"),
+                     "interpret", "coef_mats"),
 )
 def camera_jvp_call(
     scene: Scene,
@@ -970,17 +1080,26 @@ def camera_jvp_call(
     strat_k: int = 2,
     tile_offset: Array | int = 0,
     interpret: bool = False,
+    coef_mats: tuple = (),
 ) -> tuple[Array, Array, Array, Array]:
     """One persistent camera-JVP launch, T tangents per walk. Returns
     (L_sum (rows,LANES,3), dL_sum (T,rows,LANES,3), n_samp, live_rays):
     per-pixel primal radiance sums, their directional derivatives along
-    each dcam row, and completed-sample counts."""
+    each dcam row, and completed-sample counts.
+
+    coef_mats appends one IOR tangent per listed material id AFTER the
+    dcam rows: tangent row len(dcam)+k is the full (attached Snell +
+    streaming Fresnel score) d(L)/d(mat_coef[coef_mats[k]])."""
     if scene.textures is not None:
         raise ValueError("camera-jvp kernel: textured scenes use the XLA "
                          "path (the interior estimator would need the "
                          "texture's uv-motion term)")
     if dcam.ndim == 1:
         dcam = dcam[None, :]
+    if coef_mats:
+        dcam = jnp.concatenate(
+            [dcam, jnp.zeros((len(coef_mats), 24), dcam.dtype)], axis=0
+        )
     n_tan = dcam.shape[0]
     prims = pack_prims(scene)
     n_prims = int(scene.num_prims)
@@ -1065,6 +1184,25 @@ def camera_jvp_call(
             tri_lights_static=tls,
         )
 
+    tan_statics = {}
+    if coef_mats:
+        mids = scene.prim_material_ids
+        mesh_trans = set()
+        if has_mesh:
+            for mi in scene.mesh_mats_static:
+                if scene.mat_types[mi] == TRANSMISSIVE:
+                    mesh_trans.add(mi)
+        n_cam = n_tan - len(coef_mats)
+        tan_statics = dict(
+            tan_mats=(-1,) * n_cam + tuple(int(m) for m in coef_mats),
+            tan_sphere_prims=((),) * n_cam + tuple(
+                tuple(p for p in trans_prims if mids[p] == mi)
+                for mi in coef_mats
+            ),
+            tan_mesh=((False,) * n_cam
+                      + tuple(mi in mesh_trans for mi in coef_mats)),
+        )
+
     external_rng = bool(interpret)
     n_draw = 2 + 3 + (3 if use_nee else 0)
     kernel = functools.partial(
@@ -1077,6 +1215,7 @@ def camera_jvp_call(
         width=width, max_bounces=max_bounces, rr_start=rr_start,
         tmin=EPSILON, n_lanes=n_lanes, external_rng=external_rng,
         **mesh_statics,
+        **tan_statics,
     )
     tile_block = lambda i, *_: (i, 0)
     lane_spec = pl.BlockSpec((tile_rows, LANES), tile_block)
@@ -1212,3 +1351,116 @@ def camera_weighted_grad(
             g.append(jnp.sum(weights * dmean))
         grads[name] = jnp.stack(g).reshape(jnp.shape(base))
     return value, grads
+
+
+def transmissive_mats(scene: Scene) -> tuple[int, ...]:
+    """Material ids with transmissive geometry (spheres or mesh
+    triangles) — the materials whose mat_coef (index of refraction)
+    has a nonzero gradient."""
+    mids = scene.prim_material_ids
+    tmats = {
+        int(mids[p]) for p, t in enumerate(scene.prim_mtypes)
+        if t == TRANSMISSIVE
+    }
+    if scene.mesh_packed is not None or scene.mesh is not None:
+        tmats |= {
+            int(mi) for mi in scene.mesh_mats_static
+            if scene.mat_types[mi] == TRANSMISSIVE
+        }
+    return tuple(sorted(tmats))
+
+
+def ior_weighted_grad(
+    scene: Scene,
+    camera,
+    seed: Array,
+    weights: Array,  # (H, W, 3) adjoint image (dLoss/dpixel)
+    *,
+    spp: int,
+    max_bounces: int = 10,
+    rr_start: int = 3,
+    budget: int | None = None,
+    tile_rows: int = 32,
+    use_nee: bool = False,
+    strat_k: int = 2,
+    iteration: Array | int = 0,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """sum(weights * image) and its FULL gradient w.r.t. scene.mat_coef
+    (M,) — attached Snell bending + streaming Fresnel score in ONE
+    tangent-batched kernel walk (diff/score.py's combined estimator at
+    kernel speed). Non-transmissive materials get zero; raises if the
+    scene has no transmissive material at all."""
+    w, h = camera.width, camera.height
+    if budget is None:
+        budget = spp * 4 + max_bounces
+    tmats = transmissive_mats(scene)
+    if not tmats:
+        raise ValueError("ior_weighted_grad: scene has no transmissive "
+                         "material — mat_coef has no ior gradient")
+    L, dL, ns, _ = camera_jvp_call(
+        scene, pack_camera(camera), jnp.zeros((0, 24), jnp.float32),
+        seed, jnp.int32(iteration),
+        spp=spp, budget=budget, width=w, height=h,
+        max_bounces=max_bounces, rr_start=rr_start, tile_rows=tile_rows,
+        use_nee=use_nee, strat_k=strat_k, interpret=interpret,
+        coef_mats=tmats,
+    )
+    nsafe = jnp.maximum(ns, 1).astype(jnp.float32)[..., None]
+    mean = (L / nsafe).reshape(-1, 3)[: w * h].reshape(h, w, 3)
+    value = jnp.sum(weights * mean)
+    M = scene.mat_coef.shape[0]
+    g = jnp.zeros((M,))
+    for k, mi in enumerate(tmats):
+        dmean = (dL[k] / nsafe).reshape(-1, 3)[: w * h].reshape(h, w, 3)
+        g = g.at[mi].set(jnp.sum(weights * dmean))
+    return value, g
+
+
+def ior_mse_grad(
+    scene: Scene,
+    camera,
+    seed: Array,
+    target: Array,  # (H, W, 3)
+    *,
+    spp: int,
+    max_bounces: int = 10,
+    rr_start: int = 3,
+    budget: int | None = None,
+    tile_rows: int = 32,
+    use_nee: bool = False,
+    strat_k: int = 2,
+    iteration: Array | int = 0,
+    interpret: bool = False,
+) -> Array:
+    """d/d(mat_coef) of mean((image - target)^2) in ONE tangent walk (M,).
+
+    The MSE cotangent 2*(mean - target)/(n_pix*3) comes from the walk's
+    OWN primal mean — the same plain-stochastic-MSE convention as
+    make_train_step (the Cov(estimate, gradient) term is shared). Used by
+    diff.inverse.kernel_loss_and_grads to let mat_coef join the trainer's
+    param dict for glass scenes."""
+    w, h = camera.width, camera.height
+    if budget is None:
+        budget = spp * 4 + max_bounces
+    tmats = transmissive_mats(scene)
+    if not tmats:
+        raise ValueError("ior_mse_grad: scene has no transmissive "
+                         "material — mat_coef has no ior gradient")
+    L, dL, ns, _ = camera_jvp_call(
+        scene, pack_camera(camera), jnp.zeros((0, 24), jnp.float32),
+        seed, jnp.int32(iteration),
+        spp=spp, budget=budget, width=w, height=h,
+        max_bounces=max_bounces, rr_start=rr_start, tile_rows=tile_rows,
+        use_nee=use_nee, strat_k=strat_k, interpret=interpret,
+        coef_mats=tmats,
+    )
+    nsafe = jnp.maximum(ns, 1).astype(jnp.float32)[..., None]
+    mean = (L / nsafe).reshape(-1, 3)[: w * h].reshape(h, w, 3)
+    weights = 2.0 * (mean - target) / (h * w * 3)
+    M = scene.mat_coef.shape[0]
+    g = jnp.zeros((M,))
+    for k, mi in enumerate(tmats):
+        dmean = (dL[k] / nsafe).reshape(-1, 3)[: w * h].reshape(h, w, 3)
+        g = g.at[mi].set(jnp.sum(weights * dmean))
+    return g

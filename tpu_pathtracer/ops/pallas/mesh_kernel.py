@@ -87,6 +87,13 @@ WALK_PAIR = 4
 # {pair 2, caps 2..64} — small batches keep culling t fresh and 4-way
 # interleaving hides the extra pause overhead.
 QUEUE_CAP = 4
+# XLA:TPU's scoped SMEM arena charges ~512 B per grid tile for the
+# packet call (semaphores + per-step bookkeeping); past ~1.6k tiles the
+# 1 MiB SMEM budget bursts (config-4 at SPEC scale: 2048 tiles + the
+# 180 KB node tables = 1.16 MiB -> compile error). Launch at most this
+# many tiles per pallas_call and chunk bigger waves (must stay a
+# multiple of WALK_PAIR).
+MAX_TILES_PER_CALL = 1024
 # Occlusion (shadow) waves run lighter leaves and favor SMALLER tiles:
 # 8-row tiles cut the broadcast waste where the walk isn't step-bound
 # (12.3 vs 14.1 ms on the full-intensity any-hit probe).
@@ -1124,13 +1131,38 @@ def intersect_mesh_packet(
     flags = jnp.concatenate([live_flag[:, None], hints], axis=1)
 
     leaf_rows = max(1, -(-packed.leaf_size // TRIS_PER_ROW))
-    t, idx, nx, ny, nz, tu, tv, mat = _run_packet(
-        flags, packed.nodes, packed.tri_rows, o_planes, d_planes, t0_plane,
-        rows_total, tile_rows, packed.num_nodes, leaf_rows, tmin,
-        any_hit=any_hit,
-        flat_nodes=36 * packed.num_nodes <= SMEM_NODE_BUDGET,
-        defer_attrs=defer_attrs, pair=WALK_PAIR, interpret=interpret,
-    )
+
+    def _run(fl, op, dp, t0p, rt):
+        return _run_packet(
+            fl, packed.nodes, packed.tri_rows, op, dp, t0p,
+            rt, tile_rows, packed.num_nodes, leaf_rows, tmin,
+            any_hit=any_hit,
+            flat_nodes=36 * packed.num_nodes <= SMEM_NODE_BUDGET,
+            defer_attrs=defer_attrs, pair=WALK_PAIR, interpret=interpret,
+        )
+
+    if n_tiles <= MAX_TILES_PER_CALL:
+        t, idx, nx, ny, nz, tu, tv, mat = _run(
+            flags, o_planes, d_planes, t0_plane, rows_total
+        )
+    else:
+        # spec-scale waves burst the scoped SMEM arena in one launch
+        # (see MAX_TILES_PER_CALL); chunk along tiles — blocks are
+        # independent, so results are bit-identical to one launch
+        chunks = []
+        for s in range(0, n_tiles, MAX_TILES_PER_CALL):
+            e = min(s + MAX_TILES_PER_CALL, n_tiles)
+            rs, re = s * tile_rows, e * tile_rows
+            chunks.append(_run(
+                flags[s:e],
+                tuple(p[rs:re] for p in o_planes),
+                tuple(p[rs:re] for p in d_planes),
+                t0_plane[rs:re], (e - s) * tile_rows,
+            ))
+        t, idx, nx, ny, nz, tu, tv, mat = (
+            jnp.concatenate([c[k] for c in chunks], axis=0)
+            for k in range(8)
+        )
 
     def unplane(a):
         return a.reshape(-1)[:n]

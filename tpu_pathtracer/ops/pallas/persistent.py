@@ -230,6 +230,10 @@ def _persistent_kernel(
     tile = pl.program_id(0)
     shape = (rows, LANES)
     fzeros = jnp.zeros(shape, jnp.float32)
+    # mesh materials can be specular/transmissive without any
+    # sphere of that type: gate the delta-lobe blocks on EITHER
+    any_spec = bool(spec_prims) or (mesh and SPECULAR in mat_types)
+    any_trans = bool(trans_prims) or (mesh and TRANSMISSIVE in mat_types)
 
     # ---- lane ids -> pixel coords (lane == pixel)
     lane = (
@@ -657,7 +661,7 @@ def _persistent_kernel(
         Cb = Cb + Tb * eb * take
 
         # ---- next-event estimation (live scene.h:150-170)
-        is_d = ~(is_s | is_t) if (spec_prims or trans_prims) else None
+        is_d = ~(is_s | is_t) if (any_spec or any_trans) else None
         if use_nee:
             n_lights_s = len(lights_static)
             for li, (ltype, lprim) in enumerate(lights_static):
@@ -822,7 +826,7 @@ def _persistent_kernel(
                 support = (cos_l > 0.0) & (
                     _dot3(wox, woy, woz, wlx, wly, wlz) < 0.0
                 )
-                if spec_prims or trans_prims:
+                if any_spec or any_trans:
                     support = support & is_d
                 if is_delta:
                     w_mis = 1.0
@@ -878,7 +882,7 @@ def _persistent_kernel(
         )
 
         won = _dot3(wox, woy, woz, nx, ny, nz)
-        if spec_prims or trans_prims:
+        if any_spec or any_trans:
             # Mirror reflection is invariant under n -> -n (the 2(wo.n)n
             # term flips sign twice), so one reflect serves both the
             # specular lobe and the dielectric's reflected branch.
@@ -886,7 +890,7 @@ def _persistent_kernel(
             wsy = woy - 2.0 * won * ny
             wsz = woz - 2.0 * won * nz
 
-        if trans_prims:
+        if any_trans:
             entering = won < 0.0
             ior = jnp.maximum(coef, 1.0)
             n1 = jnp.where(entering, 1.0, ior)
@@ -918,21 +922,21 @@ def _persistent_kernel(
         wix, wiy, wiz = wdx, wdy, wdz
         fr, fg, fb = ar * INV_PI, ag * INV_PI, ab * INV_PI
         pdf = pdf_d
-        if spec_prims:
+        if any_spec:
             wix = jnp.where(is_s, wsx, wix)
             wiy = jnp.where(is_s, wsy, wiy)
             wiz = jnp.where(is_s, wsz, wiz)
             fr = jnp.where(is_s, coef * ar, fr)
             fg = jnp.where(is_s, coef * ag, fg)
             fb = jnp.where(is_s, coef * ab, fb)
-        if trans_prims:
+        if any_trans:
             wix = jnp.where(is_t, wtx, wix)
             wiy = jnp.where(is_t, wty, wiy)
             wiz = jnp.where(is_t, wtz, wiz)
             fr = jnp.where(is_t, ar, fr)
             fg = jnp.where(is_t, ag, fg)
             fb = jnp.where(is_t, ab, fb)
-        if spec_prims or trans_prims:
+        if any_spec or any_trans:
             pdf = jnp.where(is_d, pdf_d, 1.0)
         f_black = (fr <= 0.0) & (fg <= 0.0) & (fb <= 0.0)
         contrib_ok = ~f_black & (pdf > 0.0)
@@ -941,7 +945,7 @@ def _persistent_kernel(
         # cos = ldz and pdf = ldz/pi, so the weight is exactly pi
         # (lanes with pdf_d == 0 are killed by contrib_ok regardless);
         # delta lanes have pdf == 1, so the weight is just |cos|.
-        if spec_prims or trans_prims:
+        if any_spec or any_trans:
             cos_wi = jnp.abs(_dot3(wix, wiy, wiz, nx, ny, nz))
             wgt = jnp.where(is_d, math.pi, cos_wi)
         else:
@@ -981,7 +985,7 @@ def _persistent_kernel(
         dy = jnp.where(act, wiy, dy)
         dz = jnp.where(act, wiz, dz)
         prev_pdf = jnp.where(act, pdf, prev_pdf)
-        new_delta = (is_s | is_t) if (spec_prims or trans_prims) \
+        new_delta = (is_s | is_t) if (any_spec or any_trans) \
             else jnp.zeros(shape, jnp.bool_)
         # boolean algebra, not jnp.where: Mosaic cannot lower a vector
         # select between i1 operands ("Unsupported target bitwidth for

@@ -145,6 +145,13 @@ def _preplay_kernel(
     # the (3*TW, K*TH) output (module docstring). No adjoint registers,
     # no loss/partials outputs.
     scatter_mode: bool = False,
+    # defer_g: output the GA/GI accumulators PER-LANE instead of folding
+    # the lane-local MSE cotangent in the epilogue. This is the chunked
+    # sample-budget scheme (spp > 32 textured gradients): each chunk's
+    # per-lane sums combine linearly outside the kernel, where the
+    # POOLED-mean cotangent (unknown during any single chunk) is applied
+    # once. No loss/partials outputs in this mode.
+    defer_g: bool = False,
 ):
     # refs (adjoint mode): [mesh refs?][texT?], [tr_, tg_, tb_ target
     # lanes], [rng?], outputs [lr_o, lg_o, lb_o, ns_o, part_o, loss_o,
@@ -173,6 +180,14 @@ def _preplay_kernel(
     if scatter_mode:
         gT_o = refs[0]
         refs = refs[1:]
+    elif defer_g:
+        lr_o, lg_o, lb_o, ns_o, nrays_o = refs[:5]
+        refs = refs[5:]
+        if tex and record_ct:
+            ct_o = refs[:3 * spp]
+            refs = refs[3 * spp:]
+        gl_os = refs[:(n_mats + len(lights_static)) * 3]
+        refs = refs[(n_mats + len(lights_static)) * 3:]
     else:
         lr_o, lg_o, lb_o, ns_o, part_o, loss_o, nrays_o = refs[:7]
         refs = refs[7:]
@@ -194,6 +209,10 @@ def _preplay_kernel(
     tile = pl.program_id(0)
     shape = (rows, LANES)
     fzeros = jnp.zeros(shape, jnp.float32)
+    # mesh materials can be specular/transmissive without any
+    # sphere of that type: gate the delta-lobe blocks on EITHER
+    any_spec = bool(spec_prims) or (mesh and SPECULAR in mat_types)
+    any_trans = bool(trans_prims) or (mesh and TRANSMISSIVE in mat_types)
 
     lane = (
         jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
@@ -607,7 +626,7 @@ def _preplay_kernel(
                 cI[li][2] += e_b * m
 
         # ---- next-event estimation (per-light; accumulates cI too)
-        is_d = ~(is_s | is_t) if (spec_prims or trans_prims) else None
+        is_d = ~(is_s | is_t) if (any_spec or any_trans) else None
         nee_r = fzeros; nee_g = fzeros; nee_b = fzeros
         if use_nee:
             for li, (ltype, lprim) in enumerate(lights_static):
@@ -761,7 +780,7 @@ def _preplay_kernel(
                 support = (cos_l > 0.0) & (
                     _dot3(wox, woy, woz, wlx, wly, wlz) < 0.0
                 )
-                if spec_prims or trans_prims:
+                if any_spec or any_trans:
                     support = support & is_d
                 if is_delta:
                     w_mis = 1.0
@@ -808,7 +827,7 @@ def _preplay_kernel(
         )
 
         won = _dot3(wox, woy, woz, nx, ny, nz)
-        if spec_prims or trans_prims:
+        if any_spec or any_trans:
             # Mirror reflection is invariant under n -> -n (the 2(wo.n)n
             # term flips sign twice), so one reflect serves both the
             # specular lobe and the dielectric's reflected branch.
@@ -816,7 +835,7 @@ def _preplay_kernel(
             wsy = woy - 2.0 * won * ny
             wsz = woz - 2.0 * won * nz
 
-        if trans_prims:
+        if any_trans:
             entering = won < 0.0
             ior = jnp.maximum(coef, 1.0)
             n1 = jnp.where(entering, 1.0, ior)
@@ -849,21 +868,21 @@ def _preplay_kernel(
         wix, wiy, wiz = wdx, wdy, wdz
         fr, fg, fb = ar * INV_PI, ag * INV_PI, ab * INV_PI
         pdf = pdf_d
-        if spec_prims:
+        if any_spec:
             wix = jnp.where(is_s, wsx, wix)
             wiy = jnp.where(is_s, wsy, wiy)
             wiz = jnp.where(is_s, wsz, wiz)
             fr = jnp.where(is_s, coef * ar, fr)
             fg = jnp.where(is_s, coef * ag, fg)
             fb = jnp.where(is_s, coef * ab, fb)
-        if trans_prims:
+        if any_trans:
             wix = jnp.where(is_t, wtx, wix)
             wiy = jnp.where(is_t, wty, wiy)
             wiz = jnp.where(is_t, wtz, wiz)
             fr = jnp.where(is_t, ar, fr)
             fg = jnp.where(is_t, ag, fg)
             fb = jnp.where(is_t, ab, fb)
-        if spec_prims or trans_prims:
+        if any_spec or any_trans:
             pdf = jnp.where(is_d, pdf_d, 1.0)
         f_black = (fr <= 0.0) & (fg <= 0.0) & (fb <= 0.0)
         contrib_ok = ~f_black & (pdf > 0.0)
@@ -959,7 +978,7 @@ def _preplay_kernel(
                 jax.lax.fori_loop(0, rows, sc_body, 0)
 
         # cos/pdf without the vector divide (see persistent.py)
-        if spec_prims or trans_prims:
+        if any_spec or any_trans:
             cos_wi = jnp.abs(_dot3(wix, wiy, wiz, nx, ny, nz))
             wgt = jnp.where(is_d, math.pi, cos_wi)
         else:
@@ -1015,7 +1034,7 @@ def _preplay_kernel(
         dy = jnp.where(act, wiy, dy)
         dz = jnp.where(act, wiz, dz)
         prev_pdf = jnp.where(act, pdf, prev_pdf)
-        new_delta = (is_s | is_t) if (spec_prims or trans_prims) \
+        new_delta = (is_s | is_t) if (any_spec or any_trans) \
             else jnp.zeros(shape, jnp.bool_)
         prev_delta = (act & new_delta) | (~act & prev_delta)
         bounce = jnp.where(act, bounce + 1, bounce)
@@ -1023,6 +1042,27 @@ def _preplay_kernel(
 
     if scatter_mode:
         return  # gT_o accumulated in-loop; no other outputs
+
+    if defer_g:
+        # chunked mode: emit raw per-lane sums; the pooled-mean cotangent
+        # is applied outside once every chunk's counts are known
+        dom_f = in_domain.astype(jnp.float32)
+        for mi in range(n_mats):
+            for c in range(3):
+                gl_os[mi * 3 + c][:, :] = GA[mi][c]
+        for li in range(n_lights):
+            for c in range(3):
+                gl_os[n_mats * 3 + li * 3 + c][:, :] = GI[li][c]
+        lr_o[:, :] = Lr * dom_f
+        lg_o[:, :] = Lg * dom_f
+        lb_o[:, :] = Lb * dom_f
+        ns_o[:, :] = n_samp
+        nrays_o[tile, 0] = n_live
+        if tex and record_ct:
+            for k in range(spp):
+                for c in range(3):
+                    ct_o[k * 3 + c][:, :] = Ct[k][c]
+        return
 
     # ---- MSE cotangent, lane-local (lane == pixel)
     dom_f = in_domain.astype(jnp.float32)
@@ -1068,7 +1108,7 @@ def _preplay_kernel(
     static_argnames=(
         "spp", "budget", "width", "height", "max_bounces", "rr_start",
         "tile_rows", "use_nee", "use_dof", "strat_k", "interpret",
-        "compute_tex_grad",
+        "compute_tex_grad", "phase",
     ),
 )
 def persistent_replay_call(
@@ -1091,6 +1131,10 @@ def persistent_replay_call(
     tile_offset: Array | int = 0,
     interpret: bool = False,
     compute_tex_grad: bool = True,
+    phase: str = "both",
+    ext_g: tuple | None = None,  # phase="scatter": 3 (rows,LANES) planes
+    ext_ct: tuple | None = None,  # phase="scatter": 3*spp C_tot planes
+    ext_ns: Array | None = None,  # phase="scatter": final counts (i32)
 ) -> tuple[Array, Array, Array, Array, Array, Array, Array | None]:
     """One persistent fused fwd+bwd launch. Returns (L_sum_lanes
     (rows,LANES,3), n_samp_lanes, loss, gA_raw (M,3), gI_raw (NL,3),
@@ -1098,7 +1142,21 @@ def persistent_replay_call(
     clamp(mat_color)/clamp(light_intensity), as with replay_call. gT is
     None for untextured scenes; for textured mesh scenes it is the
     FINAL dLoss/dtextures (atlas shape, cotangent folded in) from the
-    second (scatter) launch — see the module docstring."""
+    second (scatter) launch — see the module docstring.
+
+    phase selects the chunked-sample-budget protocol (spp > 32 textured
+    gradients, VERDICT r4 item 4 — the per-chunk C_tot slots stay <= 32
+    lane-tile-triples while the POOLED mean's cotangent is applied
+    outside once all chunks have run):
+      - "both" (default): adjoint walk + (textured) scatter launch, the
+        single-call behavior.
+      - "adjoint": adjoint walk only, with DEFERRED cotangent — returns
+        (L_lanes, ns, ga_lanes (M,3,rows,LANES), gi_lanes (NL,3,...),
+        live_rays, ct_lanes | None); no loss/partials.
+      - "scatter": scatter launch only, replaying this call's schedule
+        with the externally supplied pooled cotangent planes (ext_g),
+        C_tot records (ext_ct) and final counts (ext_ns) — returns gT.
+    """
     prims = pack_prims(scene)
     n_prims = int(scene.num_prims)
     if n_prims == 0:
@@ -1189,8 +1247,9 @@ def persistent_replay_call(
             if tex_grad and spp > 32:
                 raise ValueError(
                     "textured-atlas gradients record per-path totals in "
-                    f"3*spp VMEM lane tiles; spp={spp} > 32 — chunk the "
-                    "sample budget or use the XLA replay path"
+                    f"3*spp VMEM lane tiles; spp={spp} > 32 per launch — "
+                    "persistent_mse_value_and_grad chunks the sample "
+                    "budget automatically (phase='adjoint'/'scatter')"
                 )
             # transposed atlas for the in-kernel soft-two-hot sampler:
             # texT[ch*TW + x, k*TH + y] = textures[k, y, x, ch]
@@ -1238,6 +1297,7 @@ def persistent_replay_call(
         n_lanes=n_lanes,
         inv_loss_n=1.0 / (n_pix * 3),
         external_rng=external_rng,
+        defer_g=(phase == "adjoint"),
         **mesh_statics,
     )
     tile_block = lambda i, *_: (i, 0)
@@ -1276,80 +1336,120 @@ def persistent_replay_call(
                 + [pltpu.VMEM((tile_rows, LANES), jnp.int32)] * 4
                 + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
             )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(prims.shape, lambda i, *_: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((24,), lambda i, *_: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec(lights_tab.shape, lambda i, *_: (0, 0),
-                         memory_space=pltpu.SMEM),
-            *mesh_specs,
-            lane_spec, lane_spec, lane_spec,
-            *rng_specs,
-        ],
-        out_specs=[
-            lane_spec, lane_spec, lane_spec, lane_spec,
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            *([lane_spec] * (3 * spp) if tex_grad else []),
-        ],
-        scratch_shapes=scratch_shapes,
-    )
     seed4 = jnp.stack(
         [seed[0], seed[1], jnp.int32(tile_offset), jnp.int32(iteration)]
     )
     k_part = n_mats * 3 + n_lights * 3
     lane_f32 = jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32)
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            lane_f32,
-            lane_f32,
-            lane_f32,
-            jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, k_part), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
-            *([lane_f32] * (3 * spp) if tex_grad else []),
-        ],
-        interpret=(True if interpret == "generic"
-                   else pltpu.InterpretParams() if interpret
-                   else False),
-    )(
-        seed4, prims, cam_packed, lights_tab,
-        *mesh_inputs,
-        target_lanes[:, :, 0], target_lanes[:, :, 1], target_lanes[:, :, 2],
-        *rng_inputs,
-    )
-    lr, lg, lb, ns, partials, loss_p, nrays = outs[:7]
-    part = jnp.sum(partials, axis=0)
-    gA_raw = part[: n_mats * 3].reshape(n_mats, 3)
-    gI_raw = part[n_mats * 3:].reshape(n_lights, 3)
-    L_lanes = jnp.stack([lr, lg, lb], axis=-1)
+    lane_i32 = jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32)
+    n_gl = (n_mats + n_lights) * 3
+    if phase != "scatter":
+        if phase == "adjoint":
+            out_specs_1 = [
+                lane_spec, lane_spec, lane_spec, lane_spec,
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                *([lane_spec] * (3 * spp) if tex_grad else []),
+                *([lane_spec] * n_gl),
+            ]
+            out_shape_1 = [
+                lane_f32, lane_f32, lane_f32, lane_i32,
+                jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
+                *([lane_f32] * (3 * spp) if tex_grad else []),
+                *([lane_f32] * n_gl),
+            ]
+        else:
+            out_specs_1 = [
+                lane_spec, lane_spec, lane_spec, lane_spec,
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                *([lane_spec] * (3 * spp) if tex_grad else []),
+            ]
+            out_shape_1 = [
+                lane_f32, lane_f32, lane_f32, lane_i32,
+                jax.ShapeDtypeStruct((n_tiles, k_part), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
+                *([lane_f32] * (3 * spp) if tex_grad else []),
+            ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(prims.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((24,), lambda i, *_: (0,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(lights_tab.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                *mesh_specs,
+                lane_spec, lane_spec, lane_spec,
+                *rng_specs,
+            ],
+            out_specs=out_specs_1,
+            scratch_shapes=scratch_shapes,
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape_1,
+            interpret=(True if interpret == "generic"
+                       else pltpu.InterpretParams() if interpret
+                       else False),
+        )(
+            seed4, prims, cam_packed, lights_tab,
+            *mesh_inputs,
+            target_lanes[:, :, 0], target_lanes[:, :, 1],
+            target_lanes[:, :, 2],
+            *rng_inputs,
+        )
+    if phase == "adjoint":
+        lr, lg, lb, ns, nrays = outs[:5]
+        rest = outs[5:]
+        ct_lanes = tuple(rest[:3 * spp]) if tex_grad else None
+        gls = rest[3 * spp:] if tex_grad else rest
+        ga_lanes = jnp.stack([
+            jnp.stack(gls[mi * 3:mi * 3 + 3]) for mi in range(n_mats)
+        ])  # (M, 3, rows, LANES)
+        gi_lanes = jnp.stack([
+            jnp.stack(gls[n_mats * 3 + li * 3:n_mats * 3 + li * 3 + 3])
+            for li in range(n_lights)
+        ]) if n_lights else jnp.zeros((0, 3, rows_total, LANES))
+        L_lanes = jnp.stack([lr, lg, lb], axis=-1)
+        return (L_lanes, ns, ga_lanes, gi_lanes, jnp.sum(nrays), ct_lanes)
+    if phase != "scatter":
+        lr, lg, lb, ns, partials, loss_p, nrays = outs[:7]
+        part = jnp.sum(partials, axis=0)
+        gA_raw = part[: n_mats * 3].reshape(n_mats, 3)
+        gI_raw = part[n_mats * 3:].reshape(n_lights, 3)
+        L_lanes = jnp.stack([lr, lg, lb], axis=-1)
 
     gT = None
+    if tex_grad and phase == "scatter":
+        # chunked protocol: replay THIS call's schedule with the pooled
+        # cotangent and this chunk's recorded totals/counts
+        ct_lanes = tuple(ext_ct)
+        g_lanes = list(ext_g)
+        ns = ext_ns
     if tex_grad:
         # ---- launch 2: replay the identical schedule and scatter the
         # per-vertex atlas-tap gradients (module docstring). The lane-
         # local MSE cotangent replicates the kernel epilogue's f32 math.
-        ct_lanes = outs[7:]
-        gl = (
-            jnp.arange(rows_total * LANES, dtype=jnp.int32)
-            .reshape(rows_total, LANES)
-            + jnp.int32(tile_offset) * (tile_rows * LANES)
-        )
-        havef = ((ns > 0) & (gl < n_lanes)).astype(jnp.float32)
-        inv_n = havef / jnp.maximum(ns.astype(jnp.float32), 1.0)
-        gscale = (2.0 / (n_pix * 3)) * inv_n
-        g_lanes = [
-            (lr * inv_n - target_lanes[:, :, 0]) * havef * gscale,
-            (lg * inv_n - target_lanes[:, :, 1]) * havef * gscale,
-            (lb * inv_n - target_lanes[:, :, 2]) * havef * gscale,
-        ]
+        if phase != "scatter":
+            ct_lanes = outs[7:]
+            gl = (
+                jnp.arange(rows_total * LANES, dtype=jnp.int32)
+                .reshape(rows_total, LANES)
+                + jnp.int32(tile_offset) * (tile_rows * LANES)
+            )
+            havef = ((ns > 0) & (gl < n_lanes)).astype(jnp.float32)
+            inv_n = havef / jnp.maximum(ns.astype(jnp.float32), 1.0)
+            gscale = (2.0 / (n_pix * 3)) * inv_n
+            g_lanes = [
+                (lr * inv_n - target_lanes[:, :, 0]) * havef * gscale,
+                (lg * inv_n - target_lanes[:, :, 1]) * havef * gscale,
+                (lb * inv_n - target_lanes[:, :, 2]) * havef * gscale,
+            ]
         sc_grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
@@ -1398,6 +1498,8 @@ def persistent_replay_call(
             gT_flat.reshape(3, TW, K_t, TH), (2, 3, 1, 0)
         )
 
+    if phase == "scatter":
+        return gT
     return (L_lanes, ns, jnp.sum(loss_p), gA_raw, gI_raw, jnp.sum(nrays),
             gT)
 
@@ -1448,8 +1550,24 @@ def persistent_mse_value_and_grad(
 ) -> tuple[Array, dict, Array]:
     """Loss + gradients w.r.t. {mat_color, light_intensity} for
     mean((render - target)^2) — the persistent-occupancy counterpart of
-    replay_kernel.mse_value_and_grad. Returns (loss, grads, live_rays)."""
+    replay_kernel.mse_value_and_grad. Returns (loss, grads, live_rays).
+
+    Textured scenes with spp > 32 route through the CHUNKED protocol
+    (persistent_replay_call phase="adjoint"/"scatter"): the per-chunk
+    C_tot slot budget stays within VMEM while the pooled-mean cotangent
+    is applied once across all chunks — spec-scale sampling rates no
+    longer fall back to XLA (VERDICT r4 item 4)."""
     w, h = camera.width, camera.height
+    textured = scene.textures is not None and (
+        scene.mesh is not None or scene.mesh_packed is not None
+    )
+    if textured and spp > 32:
+        return _chunked_mse_value_and_grad(
+            scene, camera, seed, iteration, target, spp=spp,
+            budget=budget, max_bounces=max_bounces, rr_start=rr_start,
+            tile_rows=tile_rows, use_nee=use_nee, strat_k=strat_k,
+            interpret=interpret,
+        )
     rows_total, _ = pixel_lanes_layout(w, h, tile_rows)
     aux = target_to_lanes(target, rows_total)
     if budget is None:
@@ -1471,3 +1589,109 @@ def persistent_mse_value_and_grad(
     if gT is not None:
         grads["textures"] = gT  # final dLoss/dtextures, no division
     return loss, grads, nrays
+
+
+def _chunked_mse_value_and_grad(
+    scene: Scene,
+    camera,
+    seed: Array,
+    iteration: Array | int,
+    target: Array,
+    *,
+    spp: int,
+    budget: int | None,
+    max_bounces: int,
+    rr_start: int,
+    tile_rows: int,
+    use_nee: bool,
+    strat_k: int,
+    interpret: bool,
+) -> tuple[Array, dict, Array]:
+    """Chunked-sample-budget fused gradients for textured scenes with
+    spp > 32 (VERDICT r4 item 4).
+
+    The two-launch atlas scheme records each completed path's C_tot in
+    3*spp VMEM lane tiles, capping one launch at spp <= 32. This driver
+    splits the sample budget into <= 32-sample chunks, each walking its
+    OWN RNG streams (iteration * n_chunks + r), with the cotangent
+    DEFERRED (phase="adjoint"): chunks return raw per-lane GA/GI sums
+    and C_tot records. The pooled mean over all chunks
+    (sum_r L_r / sum_r n_r) then defines the MSE loss; its lane-local
+    cotangent g = 2(mean - target)/(n_pix*3) * (1/n_total) is applied
+    once — dotted with the summed GA/GI lanes for material/light
+    gradients, and fed to each chunk's scatter replay (phase="scatter")
+    for the atlas gradient. The estimator is exactly "MSE of the pooled
+    mean over completed paths", matching the single-launch convention;
+    a replica validates it at ~1e-6 (tests/test_replay_persistent.py)."""
+    w, h = camera.width, camera.height
+    rows_total, n_lanes = pixel_lanes_layout(w, h, tile_rows)
+    aux = target_to_lanes(target, rows_total)
+    cp = pack_camera(camera)
+    n_chunks = -(-spp // 32)
+    sizes = [32] * (spp // 32) + ([spp % 32] if spp % 32 else [])
+    it = jnp.int32(iteration)
+    chunks = []
+    L_tot = jnp.zeros((rows_total, LANES, 3))
+    n_tot = jnp.zeros((rows_total, LANES), jnp.int32)
+    nrays_tot = jnp.zeros((), jnp.int32)
+    gaL = None
+    giL = None
+    for r, c_spp in enumerate(sizes):
+        it_r = it * n_chunks + r  # distinct streams per chunk AND step
+        bud_r = (default_budget(c_spp, max_bounces) if budget is None
+                 else max(1, -(-budget * c_spp // spp)))
+        L, ns, ga, gi, nr, ct = persistent_replay_call(
+            scene, cp, seed, it_r, aux, spp=c_spp, budget=bud_r,
+            width=w, height=h, max_bounces=max_bounces, rr_start=rr_start,
+            tile_rows=tile_rows, use_nee=use_nee, use_dof=camera.use_dof,
+            strat_k=strat_k, interpret=interpret, phase="adjoint",
+        )
+        chunks.append((c_spp, bud_r, it_r, ns, ct))
+        L_tot = L_tot + L
+        n_tot = n_tot + ns
+        nrays_tot = nrays_tot + nr
+        gaL = ga if gaL is None else gaL + ga
+        giL = gi if giL is None else giL + gi
+
+    # pooled-mean MSE + its lane-local cotangent (the kernel epilogue's
+    # f32 math with the POOLED counts)
+    lane = jnp.arange(rows_total * LANES, dtype=jnp.int32).reshape(
+        rows_total, LANES
+    )
+    havef = ((n_tot > 0) & (lane < n_lanes)).astype(jnp.float32)
+    inv_n = havef / jnp.maximum(n_tot.astype(jnp.float32), 1.0)
+    n_pix = w * h
+    d = [(L_tot[..., c] * inv_n - aux[..., c]) * havef for c in range(3)]
+    loss = sum(jnp.sum(dc * dc) for dc in d) / (n_pix * 3)
+    g_lanes = tuple(dc * (2.0 / (n_pix * 3)) * inv_n for dc in d)
+
+    gA_raw = jnp.stack([
+        jnp.stack([jnp.sum(g_lanes[c] * gaL[m, c]) for c in range(3)])
+        for m in range(gaL.shape[0])
+    ])
+    n_l = giL.shape[0]
+    gI_raw = (jnp.stack([
+        jnp.stack([jnp.sum(g_lanes[c] * giL[li, c]) for c in range(3)])
+        for li in range(n_l)
+    ]) if n_l else jnp.zeros((0, 3)))
+
+    gT = jnp.zeros_like(scene.textures)
+    for (c_spp, bud_r, it_r, ns_r, ct_r) in chunks:
+        gT = gT + persistent_replay_call(
+            scene, cp, seed, it_r, aux, spp=c_spp, budget=bud_r,
+            width=w, height=h, max_bounces=max_bounces, rr_start=rr_start,
+            tile_rows=tile_rows, use_nee=use_nee, use_dof=camera.use_dof,
+            strat_k=strat_k, interpret=interpret, phase="scatter",
+            ext_g=g_lanes, ext_ct=ct_r, ext_ns=ns_r,
+        )
+
+    gI_full = jnp.zeros_like(scene.light_intensity)
+    gI_full = gI_full.at[:gI_raw.shape[0]].set(gI_raw)
+    grads = {
+        "mat_color": gA_raw / jnp.maximum(scene.mat_color, 1e-8),
+        "light_intensity": gI_full / jnp.maximum(
+            scene.light_intensity, 1e-8
+        ),
+        "textures": gT,
+    }
+    return loss, grads, nrays_tot
