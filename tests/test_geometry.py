@@ -113,3 +113,98 @@ def test_attached_geom_primal_identical():
                    RenderConfig(spp=4, max_bounces=4, attached_geom=True),
                    iteration=0)
     np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+
+
+# ---- mesh translation (VERDICT r4 item 7): attached interior term via
+# forward-mode JVP through the XLA BVH traversal; visibility boundary
+# terms documented out of scope (diff/geometry.mesh_translation_grads)
+
+def _floor_mesh_scene(dy=0.0, with_ceiling=False, ceiling_dy=0.0):
+    """Edge-free mesh fixture: a huge quad floor at y=dy fills the whole
+    frame from a steeply-down-looking camera (every ray hits it, its rim
+    projects outside the frustum), lit by a point light — translating it
+    is a smooth functional, so per-seed FD is well-defined. Optional far
+    ceiling quad (material 1) for the per-object path."""
+    from tpu_pathtracer.models import meshes
+    from tpu_pathtracer.models.mesh import build_bvh
+
+    v, f, uv = meshes.quad([-40, dy, -40], [-40, dy, 40],
+                           [40, dy, 40], [40, dy, -40])
+    mats = [sc.diffuse([0.8, 0.7, 0.6])]
+    if with_ceiling:
+        v2, f2, uv2 = meshes.quad(
+            [-40, 30 + ceiling_dy, -40], [40, 30 + ceiling_dy, -40],
+            [40, 30 + ceiling_dy, 40], [-40, 30 + ceiling_dy, 40])
+        v = np.concatenate([v, v2])
+        f = np.concatenate([f, f2 + 4])
+        uv = np.concatenate([uv, uv2])
+        fm = np.array([0, 0, 1, 1], np.int32)
+        mesh = build_bvh(v, f, uv, fm)
+        mats.append(sc.diffuse([0.3, 0.3, 0.3]))
+    else:
+        mesh = build_bvh(v, f, uv, 0)
+    scene = sc.make_scene(
+        [], mats, [sc.point_light([2, 6, 1], [60, 60, 60])], mesh=mesh
+    )
+    cam = cm.make_camera([0, 5, 0.1], [0, 0, 0], [0, 0, -1], W, H, 45.0)
+    return scene, cam
+
+
+def test_mesh_translation_grad_matches_fd():
+    scene, cam = _floor_mesh_scene()
+    config = RenderConfig(spp=4, max_bounces=1, use_nee=True)
+    key = jax.random.key(5)
+    wimg = jnp.asarray(
+        np.random.default_rng(2).random((H, W, 3), np.float32))
+    from tpu_pathtracer.diff.geometry import mesh_translation_grads
+
+    g = mesh_translation_grads(scene, cam, key, config, wimg)
+    g = np.asarray(g)
+    assert np.isfinite(g).all() and abs(g[1]) > 0.1
+
+    h = 2e-2
+    def J(dy, it):
+        s, c = _floor_mesh_scene(dy)
+        return float(jnp.sum(render(s, c, key, config, iteration=it)
+                             * wimg))
+    fds = [(J(h, it) - J(-h, it)) / (2 * h) for it in range(6)]
+    np.testing.assert_allclose(g[1], np.mean(fds), rtol=2e-2)
+
+
+def test_mesh_translation_grad_per_object():
+    """objects=(0,) moves only the floor: the gradient matches FD of
+    rebuilding the scene with the floor (and only the floor) moved."""
+    scene, cam = _floor_mesh_scene(with_ceiling=True)
+    config = RenderConfig(spp=4, max_bounces=1, use_nee=True)
+    key = jax.random.key(7)
+    wimg = jnp.asarray(
+        np.random.default_rng(4).random((H, W, 3), np.float32))
+    from tpu_pathtracer.diff.geometry import mesh_translation_grads
+
+    g = mesh_translation_grads(scene, cam, key, config, wimg,
+                               objects=(0,))
+    g = np.asarray(g)
+    assert np.isfinite(g).all() and abs(g[1]) > 0.1
+
+    h = 2e-2
+    def J(dy, it):
+        s, c = _floor_mesh_scene(dy, with_ceiling=True)
+        return float(jnp.sum(render(s, c, key, config, iteration=it)
+                             * wimg))
+    fds = [(J(h, it) - J(-h, it)) / (2 * h) for it in range(6)]
+    np.testing.assert_allclose(g[1], np.mean(fds), rtol=2e-2)
+
+
+def test_mesh_translation_grad_finite_on_cornell():
+    """The production mesh scene (triangle-quad Cornell + tri light):
+    RR-deep paths, mixed materials, TRI_LIGHT NEE — gradient finite."""
+    scene, cs = sc.cornell_quad()
+    cam = cm.make_camera(cs["eye"], cs["look_at"], cs["up"], 24, 18,
+                         cs["fov"])
+    config = RenderConfig(spp=2, max_bounces=4, use_nee=True)
+    wimg = jnp.ones((18, 24, 3)) / (18 * 24 * 3)
+    from tpu_pathtracer.diff.geometry import mesh_translation_grads
+
+    g = mesh_translation_grads(scene, cam, jax.random.key(1), config,
+                               wimg)
+    assert np.isfinite(np.asarray(g)).all()

@@ -15,9 +15,15 @@ slot, trainer wiring); the FD validation in EXPECTATION — per-sample FD
 is meaningless when a lane's u crosses R(ior +- h) and flips its whole
 path (see tests/test_score.py) — runs on the TPU backend where 16
 iterations of the real kernel are cheap. Recorded TPU result
-(8x8x32spp b6, 16 iterations, this fixture):
-  brute: kernel 1.537+-0.062  pairedFD 1.527+-0.133  scorepy 1.700+-0.119
-  NEE:   kernel 1.556+-0.067  pairedFD 1.546+-0.136  scorepy 1.682+-0.124
+(8x8x32spp b6, 16 iterations, this fixture; +- is the standard error):
+  brute: kernel 1.158+-0.037  pairedFD 1.256+-0.079  scorepy 1.248+-0.046
+  NEE:   kernel 1.165+-0.030  pairedFD 1.370+-0.076  scorepy 1.248+-0.046
+The paired FD additionally sees the motion of the DETACHED RR boost
+factor (1/p_cont), which this estimator — like diff/score.py, whose
+p_cont is equally stop_gradient'ed and which agrees with the kernel
+within 1 sigma — intentionally omits; hence the looser NEE band.
+Timing: full mat_coef gradient on cornell_spheres 640x480x4spp b10 NEE
+= 35.2 ms (v5e) vs ~120 ms attached-autodiff + score walk on XLA.
 """
 from __future__ import annotations
 

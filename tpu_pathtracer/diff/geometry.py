@@ -205,3 +205,87 @@ def geometry_grads(
         g_r = g_r.at[p].add(gr_p)
 
     return {"centers": g_c_int + g_c, "radii": g_r_int + g_r}
+
+
+def _translate_mesh(scene: Scene, delta: Array,
+                    mats: tuple | None = None) -> Scene:
+    """Scene with the mesh (or the triangles of the given material ids)
+    rigidly translated by delta, differentiably.
+
+    Only the VALUE path must be exact: triangle rows (v0, tris_packed)
+    and the tri-light tables move by delta; BVH node boxes are PADDED by
+    |delta| instead of translated — boxes only cull, so padding leaves
+    the primal at delta = 0 bit-identical while keeping finite-difference
+    probes (delta != 0) conservative even for per-object translation
+    (whose exact per-node bounds are unknowable without a rebuild).
+    Routes to the XLA traversal (mesh_packed dropped): the packet kernel
+    is not differentiable, and forward-mode JVP flows through
+    lax.while_loop where reverse-mode cannot."""
+    m = scene.mesh
+    if mats is None:
+        sel = jnp.ones((m.v0.shape[0],), jnp.float32)
+    else:
+        sel = jnp.zeros((m.v0.shape[0],), jnp.float32)
+        for mi in mats:
+            sel = jnp.where(m.material_id == mi, 1.0, sel)
+    shift = sel[:, None] * delta
+    pad = jnp.max(jnp.abs(delta))
+    nodes_packed = m.nodes_packed.at[:, 0:3].add(-pad)
+    nodes_packed = nodes_packed.at[:, 3:6].add(pad)
+    mesh = m.replace(
+        v0=m.v0 + shift,
+        tris_packed=m.tris_packed.at[:, 0:3].add(shift),
+        node_min=m.node_min - pad,
+        node_max=m.node_max + pad,
+        nodes_packed=nodes_packed,
+    )
+    scene = scene.replace(mesh=mesh, mesh_packed=None,
+                          mesh_packed_coarse=None)
+    if scene.tl_v0 is not None:
+        # tl tables are padded past the real light count; light_mats is
+        # the unpadded static tuple
+        tshift = jnp.zeros_like(scene.tl_v0)
+        for li, lm in enumerate(scene.light_mats):
+            if mats is None or int(lm) in mats:
+                tshift = tshift.at[li].add(delta)
+        scene = scene.replace(tl_v0=scene.tl_v0 + tshift)
+    return scene
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "objects"),
+)
+def mesh_translation_grads(
+    scene: Scene,
+    cam: Camera,
+    key: Array,
+    config: RenderConfig,
+    d_loss_d_image: Array,  # (H, W, 3) cotangent of the rendered image
+    iteration: Array | int = 0,
+    objects: tuple | None = None,  # material ids; None = whole mesh
+) -> Array:
+    """d loss / d (rigid mesh translation) at delta = 0 — the (3,)
+    gradient of sum(d_loss_d_image * image) w.r.t. translating the mesh
+    (or the listed materials' triangles) as a rigid body.
+
+    Estimator (the mesh row of the per-parameter table): ATTACHED
+    interior term only — the intersection t, hit point, interpolated uv
+    and the diffuse cosine all move with the vertices (attached_geom
+    reparameterization; flat triangles keep dn = 0 under translation),
+    propagated by forward-mode JVP through the XLA BVH traversal (one
+    tangent per component; lax.while_loop admits JVP where reverse-mode
+    does not). Visibility BOUNDARY terms — mesh silhouette and shadow
+    edges sweeping across pixels — are NOT sampled (documented scope, as
+    for camera pose; sphere primaries have them via geometry_grads'
+    silhouette MC). FD validation on an edge-free fixture:
+    tests/test_geometry.py::test_mesh_translation_grad_matches_fd."""
+    if scene.mesh is None:
+        raise ValueError("mesh_translation_grads: scene has no mesh")
+    int_config = config.replace(attached_geom=True)
+
+    def loss(delta):
+        s = _translate_mesh(scene, delta, objects)
+        img = render(s, cam, key, int_config, iteration=iteration)
+        return jnp.sum(img * d_loss_d_image)
+
+    return jax.jacfwd(loss)(jnp.zeros(3))

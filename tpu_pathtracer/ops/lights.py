@@ -188,6 +188,19 @@ def sample_lights(
         branch_ok = branch_ok | (is_tri & valid_tri)
     pdf = pdf * sel_pdf
     valid = l_valid & branch_ok & (pdf > 0.0)
+    # Tangent hygiene (mesh-translation / attached-geometry JVPs):
+    # INVALID lanes' branch math can carry unbounded derivatives — e.g.
+    # a receiver in the light quad's plane gives cos_at -> 0 and a
+    # d2/max(cos*area, eps) pdf whose clamped primal is finite but whose
+    # tangent overflows f32. Consumers multiply contributions by
+    # `valid`, but inf/NaN tangents survive multiplication by zero; a
+    # where-select kills the untaken branch's tangent exactly while
+    # leaving valid lanes bit-identical.
+    vf = valid[:, None]
+    wi = jnp.where(vf, wi, jnp.zeros_like(wi).at[:, 2].set(1.0))
+    radiance = jnp.where(vf, radiance, 0.0)
+    pdf = jnp.where(valid, pdf, 1.0)
+    dist = jnp.where(valid, dist, 1.0)
     return LightSample(
         radiance=radiance, wi=wi, pdf=pdf, dist=dist,
         is_delta=is_point, valid=valid, index=li,
