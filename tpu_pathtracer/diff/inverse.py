@@ -253,6 +253,33 @@ def kernel_loss_and_grads(
         )
 
         textured = scene.textures is not None and scene.mesh is not None
+        if textured and spp > 32:
+            # chunked pooled-mean protocol (replay_persistent docstring):
+            # per-launch C_tot slots cap at 32 samples; the driver splits
+            # the budget and pools the cotangent. Single-device (the
+            # chunk launches already fill the chip; shard across STEPS
+            # instead for data-parallel training).
+            if mesh is not None:
+                raise ValueError(
+                    "textured gradients with spp > 32 use the chunked "
+                    "single-device driver; drop the mesh sharding or "
+                    "keep spp <= 32 per step"
+                )
+            from tpu_pathtracer.ops.pallas.replay_persistent import (
+                persistent_mse_value_and_grad,
+            )
+
+            loss, grads, _ = persistent_mse_value_and_grad(
+                scene_p, camera, seed, it, target, spp=spp, budget=budget,
+                max_bounces=max_bounces, rr_start=rr_start, tile_rows=tr,
+                use_nee=use_nee, strat_k=strat_k, interpret=interpret,
+            )
+            if "mat_coef" in params:
+                raise ValueError(
+                    "mat_coef gradients are untextured-scene only (the "
+                    "tangent kernel does not trace textured materials)"
+                )
+            return loss, grads
         if mesh is None:
             _, _, loss, gA_raw, gI_raw, _, gT = call(
                 scene_p, cam_packed, seed, it, aux
