@@ -1,5 +1,7 @@
-"""Camera-pose tangent kernel: forward-mode JVP through the persistent
-regeneration walk, N tangent directions per walk.
+"""Tangent kernel: forward-mode JVP through the persistent regeneration
+walk, N tangent directions per walk — camera pose AND index of
+refraction (round 5: per-material IOR tangent seeds + streaming
+Fresnel-score accumulator, see the tan_mats kernel statics).
 
 Closes the ~30x gradient-speed gap for camera parameters (VERDICT r3
 item 7): the material/intensity gradients ride the fused streaming
